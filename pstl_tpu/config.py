@@ -1,0 +1,248 @@
+"""Typed experiment configuration.
+
+Replaces the reference's ~115-flag argparse namespace
+(``nusc_train.py:1635-1814``) with a frozen dataclass.  The imperative
+post-parse coupling rules of the reference (``nusc_train.py:1779-1813``) are
+made explicit in :func:`Config.finalize`.  The README's e0..e8 experiment
+commands become named presets in :data:`PRESETS`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, replace
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---- experiment ----------------------------------------------------
+    seed: int = 1007
+    exp_name: Optional[str] = None
+    epochs: int = 500
+    test: bool = False
+    net_pretrained_path: Optional[str] = None
+    batch_size: int = 128
+    lr: float = 3e-4
+    hiddens: Tuple[int, ...] = (256, 256)
+    print_freq: int = 10
+    save_freq: int = 100
+    viz_freq: int = 50
+    num_viz: int = 10
+    no_viz: bool = False
+    mini: bool = False
+    train_ratio: float = 0.7
+
+    # ---- scene tensor shapes -------------------------------------------
+    n_neighbors: int = 8          # k neighbor slots
+    n_randoms: int = 64           # M candidate seeds per (scene, maneuver)
+    n_segs: int = 15              # lane centerline waypoints
+    n_expands: int = 4            # lane-graph expansion depth (extraction)
+
+    # ---- dynamics & geometry -------------------------------------------
+    ego_L: float = 4.084
+    ego_W: float = 1.730
+    refined_nL: int = 4           # anchor discs along length
+    refined_nW: int = 1           # anchor discs along width
+    nt: int = 20                  # control horizon (steps)
+    dt: float = 0.5               # seconds per step
+    mul_w_max: float = 0.5        # |steer-rate| bound (rad/s)
+    mul_a_max: float = 5.0        # |accel| bound (m/s^2)
+
+    # ---- STL semantics ---------------------------------------------------
+    smoothing_factor: float = 100.0   # tau for soft min/max
+    clip_dist: bool = False           # clip lane distance to [-5, 5]
+    inline: bool = False              # polyline endpoint handling
+    norm_stl: bool = False            # normalize clauses by parameter ranges
+    flex: bool = False                # widened calibration margins
+    use_gt_stlp: bool = False
+    stl_nn_thres: float = 0.0005
+    stl_trajopt_thres: float = 0.01
+
+    # ---- data ------------------------------------------------------------
+    collect_data: bool = False
+    offline: bool = True
+    cache_path: str = "e0_nusc_cache"
+    params_load_path: Optional[str] = "e1_nusc_trajopt"
+    load_stlp: bool = False
+    load_tj: bool = False
+    gt_nei: bool = True
+    generate_split_on_the_fly: bool = False
+    synthetic: bool = True        # TPU build: synthetic scene source by default
+    n_synth_scenes: int = 512     # synthetic dataset size
+
+    # ---- trajopt augmentation ---------------------------------------------
+    trajopt_only: bool = False
+    traj_opt_iters: int = 2000
+    trajopt_lr: float = 0.005
+    opt_epochs: int = 0
+    reg_loss: float = 10.0
+
+    # ---- model modes -------------------------------------------------------
+    stl_weight: float = 1.0
+    bc: bool = False
+    bc_weight: float = 0.0
+    vae: bool = False
+    vae_dim: int = 64
+    weight_vae_bc: float = 1.0
+    weight_vae_kl: float = 1.0
+    diffusion: bool = False
+    diffusion_steps: int = 100
+    beta_start: float = 1e-4
+    beta_end: float = 0.02
+    cos: bool = True              # cosine schedule (forced on in reference)
+    grad_rollout: bool = False
+    use_init_hint: bool = False
+    gt_data_training: bool = False
+    stl_bc_mask: bool = True      # forced on in reference
+
+    # ---- RefineNet ----------------------------------------------------------
+    rect_head: bool = False
+    rect_hiddens: Tuple[int, ...] = (256, 256)
+    rect_reg_loss: float = 0.0
+    joint: bool = False
+    extra_rect_reg: Optional[float] = None
+    not_use_rect: bool = False
+    interval: bool = False
+    clip_rect: bool = False
+    diffusion_clip: bool = False
+    diff_full: bool = False
+    multi_cands: Optional[int] = None
+    n_rolls: Optional[int] = None
+    no_refinenet: bool = False
+
+    # ---- diversity -------------------------------------------------------
+    diverse_loss: bool = False
+    diversity_weight: float = 1.0
+    diversity_scale: float = 1.0
+    no_arch: bool = False
+    n_shards: int = 4
+    diverse_fuse_type: str = "add"   # "add" | "cat"
+    diverse_detach: bool = False
+    measure_diversity: bool = False
+    extra_diversity: bool = False
+
+    # ---- guidance (CTG-style) ----------------------------------------------
+    guidance: bool = False
+    guidance_niters: int = 3
+    guidance_before: int = 1000
+    guidance_lr: float = 0.01
+    guidance_reverse: bool = False
+    guidance_sets: Optional[Tuple[int, ...]] = None
+    guidance_freq: Optional[int] = None
+    # Reference quirk (nusc_train.py:624-626): the per-step guidance delta is
+    # |mu'-mu| clipped to beta and *added* (always positive offset). True = same.
+    guidance_positive_offset_quirk: bool = True
+
+    # ---- losses extras ------------------------------------------------------
+    collision_loss: Optional[float] = None    # TrafficSim-style
+    oracle_filter: bool = False
+
+    # ---- evaluation ----------------------------------------------------------
+    run_sampling_test: bool = False
+    sampling_size: int = 64
+    n_trials: int = 100
+    refinement: bool = False
+    raw_refinement: bool = False
+    lite_refine: bool = False
+    backup: bool = False
+    test_scenes: bool = False
+    test_aggressive: bool = False
+
+    # ---- TPU execution --------------------------------------------------------
+    mesh_shape: Tuple[int, ...] = (-1,)       # data-parallel mesh (-1 = all)
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+    compute_dtype: str = "bfloat16"           # network matmul dtype
+    robustness_dtype: str = "float32"         # STL robustness dtype
+    time_profile: bool = False
+
+    # ------------------------------------------------------------------
+    @property
+    def multi_check(self) -> bool:
+        """Generative multi-candidate mode (nusc_train.py:1217)."""
+        return (self.diffusion or self.vae or self.bc) and not self.gt_data_training
+
+    @property
+    def latent_dim(self) -> int:
+        """Mode-specific latent width fed to the policy head (nusc_model.py:24-35)."""
+        stlp_dim = 6
+        if self.diffusion:
+            d = self.nt * 2 + 32 + 1 + stlp_dim
+        elif self.bc:
+            d = 1 + stlp_dim
+        elif self.vae:
+            d = self.vae_dim + 1 + stlp_dim
+        else:
+            d = 1 + stlp_dim
+        if self.use_init_hint:
+            d += self.nt * 2
+        return d
+
+    def finalize(self) -> "Config":
+        """Apply the reference's flag-coupling rules (nusc_train.py:1779-1813)."""
+        c = self
+        upd = {}
+        upd["gt_nei"] = True
+        upd["stl_bc_mask"] = True
+        upd["cos"] = True
+        if not c.collect_data and not c.trajopt_only:
+            upd["measure_diversity"] = True
+        if c.run_sampling_test:
+            upd["test"] = True
+            upd["extra_diversity"] = True
+        if c.collect_data:
+            upd.update(epochs=1, batch_size=1024)
+        if c.trajopt_only:
+            upd.update(opt_epochs=1, epochs=1, batch_size=1024,
+                       diffusion=True, flex=True)
+        if c.opt_epochs > 0 or upd.get("opt_epochs", 0) > 0:
+            upd["epochs"] = max(c.opt_epochs, upd.get("opt_epochs", 0))
+        if c.load_stlp:
+            upd["load_tj"] = True
+        if c.rect_head:
+            upd.update(interval=True, diffusion_clip=True, diff_full=True)
+        upd["offline"] = not c.collect_data
+        if c.test or upd.get("test"):
+            upd["epochs"] = 1
+        return replace(c, **upd)
+
+    def with_(self, **kw) -> "Config":
+        return replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def _p(**kw) -> Config:
+    return Config(**kw).finalize()
+
+
+#: Named presets mirroring the reference README's e0..e8 experiment commands
+#: (README.md:54-202).
+PRESETS = {
+    # e0: data collection (NuScenes -> tensor cache)
+    "e0_cache": _p(exp_name="e0_cache", collect_data=True),
+    # e1: trajopt augmentation (64 seeds x 3 maneuvers, 2000 Adam iters)
+    "e1_trajopt": _p(exp_name="e1_trajopt", trajopt_only=True),
+    # e3: VAE baseline on augmented data
+    "e3_vae": _p(exp_name="e3_vae", vae=True, load_tj=True, load_stlp=True,
+                 flex=True),
+    # e4: DDPM trained on GT controls only ("mono")
+    "e4_ddpm_mono": _p(exp_name="e4_ddpm_mono", diffusion=True,
+                       gt_data_training=True),
+    # e5: DDPM on augmented data
+    "e5_ddpm": _p(exp_name="e5_ddpm", diffusion=True, load_tj=True,
+                  load_stlp=True, flex=True),
+    # e7: ours = DDPM + RefineNet + DPP diversity + multi_cands
+    "e7_ours": _p(exp_name="e7_ours", diffusion=True, rect_head=True,
+                  diverse_loss=True, multi_cands=5, load_tj=True,
+                  load_stlp=True, flex=True),
+    # e8: STL-weight ablation
+    "e8_stl": _p(exp_name="e8_stl", diffusion=True, stl_weight=1.0,
+                 n_shards=4, load_tj=True, load_stlp=True, flex=True),
+    # ours + test-time STL guidance
+    "ours_guidance": _p(exp_name="ours_guidance", diffusion=True,
+                        rect_head=True, diverse_loss=True, multi_cands=10,
+                        guidance=True, n_rolls=3, load_tj=True,
+                        load_stlp=True, flex=True),
+}

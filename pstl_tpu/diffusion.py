@@ -1,0 +1,256 @@
+"""DDPM core: schedule, forward prep, reverse sampler with fused STL guidance.
+
+Parity targets:
+- cosine beta schedule with the reference's nonstandard x0.2 scaling
+  (``get_diffusion_coeffs``, nusc_train.py:528-537)
+- forward noising ``diffusion_prep`` (nusc_train.py:539-555)
+- reverse loop ``diffusion_rollout`` (nusc_train.py:557-645) including the
+  CTG-style guidance inner optimizer (nusc_train.py:599-627) and its
+  always-positive-offset clamp quirk (nusc_train.py:624-626, reproduced
+  behind ``cfg.guidance_positive_offset_quirk``)
+- control denormalization ``normalize_diff`` (nusc_train.py:647-655)
+- multi-candidate argmax selection (nusc_train.py:993-1024, 1382-1400)
+
+TPU-first design: the whole T-1-step reverse process is ONE ``lax.scan`` —
+the policy-net forward, the posterior update, the guidance gradient ascent
+(an inner ``fori_loop`` carrying Adam moments), and the noise injection all
+live in the scan body, so XLA compiles the entire sampler into a single
+device program.  The per-step guidance trigger schedule is precomputed on
+host as a static boolean vector and threaded through scan's xs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pstl_tpu import specs
+from pstl_tpu.config import Config
+from pstl_tpu.ops import dynamics as dyn
+
+Array = jax.Array
+
+
+class Coeffs(NamedTuple):
+    beta: Array
+    alpha: Array
+    alpha_hat: Array
+
+
+def get_coeffs(cfg: Config) -> Coeffs:
+    """Noise schedule (nusc_train.py:528-537).  cfg.cos is forced on by
+    ``Config.finalize`` like the reference; the x0.2 beta scaling is
+    intentional reference behavior."""
+    T = cfg.diffusion_steps
+    if cfg.cos:
+        t = jnp.linspace(0.0, 1.0, T + 1)
+        alpha_bar = jnp.cos((t + 0.008) / 1.008 * jnp.pi / 2) ** 2
+        beta = jnp.clip(1 - alpha_bar[1:] / alpha_bar[:-1], 0, 0.999) * 0.2
+    else:
+        beta = jnp.linspace(cfg.beta_start, cfg.beta_end, T)
+    alpha = 1.0 - beta
+    return Coeffs(beta, alpha, jnp.cumprod(alpha))
+
+
+def normalize_controls(controls: Array, cfg: Config) -> Array:
+    """Physical controls -> normalized [-1,1]-ish diffusion space."""
+    return jnp.stack([controls[..., 0] / cfg.mul_w_max,
+                      controls[..., 1] / cfg.mul_a_max], axis=-1)
+
+
+def denormalize_controls(x: Array, cfg: Config,
+                         clip: Optional[bool] = None) -> Array:
+    """Diffusion space -> physical controls (``normalize_diff``,
+    nusc_train.py:647-655). x: (n, nt*2) or (n, nt, 2)."""
+    if clip is None:
+        clip = cfg.diffusion_clip
+    x = x.reshape(x.shape[0], cfg.nt, 2)
+    w = x[..., 0] * cfg.mul_w_max
+    a = x[..., 1] * cfg.mul_a_max
+    if clip:
+        w = jnp.clip(w, -cfg.mul_w_max, cfg.mul_w_max)
+        a = jnp.clip(a, -cfg.mul_a_max, cfg.mul_a_max)
+    return jnp.stack([w, a], axis=-1)
+
+
+def prep(key: Array, dense_controls: Array, cfg: Config, coeffs: Coeffs,
+         n_randoms: Optional[int] = None, mono: bool = False):
+    """Forward noising for training (``diffusion_prep``, nusc_train.py:539-555).
+
+    dense_controls: (bs, M, 3, nt, 2) physical controls (or (bs, nt, 2) GT
+    controls when mono).  Returns (noise (n, nt*2), t (n, 1), x_t (n, nt*2)).
+    """
+    if n_randoms is None:
+        n_randoms = cfg.n_randoms
+    if mono:
+        bs = dense_controls.shape[0]
+        n = bs * n_randoms
+        cmd = jnp.broadcast_to(dense_controls[:, None],
+                               (bs, n_randoms) + dense_controls.shape[1:])
+        cmd = cmd.reshape(n, cfg.nt, 2)
+    else:
+        n = dense_controls.shape[0] * n_randoms * 3
+        cmd = dense_controls.reshape(n, cfg.nt, 2)
+    cmd = normalize_controls(cmd, cfg).reshape(n, cfg.nt * 2)
+    k_noise, k_t = jax.random.split(key)
+    noise = jax.random.normal(k_noise, (n, cfg.nt * 2))
+    t = jax.random.randint(k_t, (n,), 1, cfg.diffusion_steps)
+    sa = jnp.sqrt(coeffs.alpha_hat[t])[:, None]
+    sb = jnp.sqrt(1 - coeffs.alpha_hat[t])[:, None]
+    return noise, t[:, None], sa * cmd + sb * noise
+
+
+def _trigger_schedule(cfg: Config) -> np.ndarray:
+    """Static per-step guidance triggers for i = T-1 .. 1
+    (nusc_train.py:589-598).  Entry j corresponds to scan step j,
+    i.e. diffusion index i = T-1-j."""
+    T = cfg.diffusion_steps
+    trig = np.zeros(T - 1, dtype=bool)
+    if cfg.guidance:
+        for j, i in enumerate(range(T - 1, 0, -1)):
+            i_val = (T - 1 - i) if cfg.guidance_reverse else i
+            if cfg.guidance_sets is not None:
+                trig[j] = i_val in cfg.guidance_sets
+            elif cfg.guidance_freq is not None:
+                trig[j] = (i_val % cfg.guidance_freq) == 0
+            else:
+                trig[j] = i <= cfg.guidance_before
+    return trig
+
+
+def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
+                   maximize: bool) -> Array:
+    """Inner gradient ascent on STL robustness (nusc_train.py:599-627).
+
+    mu: (N, nt*2) normalized posterior mean.  ctx = (signal_input dict,
+    highlevel (N,1), states_flat (N,4), formulas).  Runs
+    ``cfg.guidance_niters`` Adam steps on a copy of mu, then applies the
+    reference's clamp: delta = clip(|mu'-mu|, beta_t) added positively
+    (quirk) or the signed variant when the quirk flag is off.
+    """
+    signal_base, highlevel, states_flat, formulas = ctx
+    N = states_flat.shape[0]
+    thres = 100.0 if maximize else cfg.stl_nn_thres
+    valid = signal_base["dense_valids"].reshape(-1)
+
+    def loss_fn(mu_flat):
+        u = denormalize_controls(mu_flat, cfg, clip=False)
+        trajs = dyn.rollout(states_flat, u, cfg.dt)
+        sig = dict(signal_base)
+        sig["ego_traj"] = trajs[:, :-1]
+        _, scores, _ = specs.compute_scores(sig, formulas, highlevel,
+                                            valid, cfg)
+        return specs.mask_mean(jax.nn.relu(thres - scores), valid)
+
+    grad_fn = jax.grad(loss_fn)
+    lr, b1, b2, eps = cfg.guidance_lr, 0.9, 0.999, 1e-8
+    mu_init = mu
+
+    def body(it, carry):
+        mu_opt, m, v = carry
+        g = grad_fn(mu_opt)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        step = it + 1
+        mh = m / (1 - b1 ** step)
+        vh = v / (1 - b2 ** step)
+        mu_opt = mu_opt - lr * mh / (jnp.sqrt(vh) + eps)
+        if cfg.guidance_positive_offset_quirk:
+            delta = jnp.clip(jnp.abs(mu_opt - mu_init), -beta_t, beta_t)
+        else:
+            delta = jnp.clip(mu_opt - mu_init, -beta_t, beta_t)
+        return (mu_init + delta, m, v)
+
+    mu_opt, _, _ = jax.lax.fori_loop(
+        0, cfg.guidance_niters, body,
+        (mu_init, jnp.zeros_like(mu), jnp.zeros_like(mu)))
+    return jax.lax.stop_gradient(mu_opt)
+
+
+def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
+                   highlevel: Array, feature: Array, cfg: Config,
+                   coeffs: Coeffs, n: int,
+                   guidance_ctx=None, maximize: bool = False,
+                   mono: bool = False, tmp_stlp: Optional[Array] = None):
+    """Full reverse DDPM as one ``lax.scan`` (``diffusion_rollout``,
+    nusc_train.py:557-645).
+
+    apply_fn(ext) -> epsilon prediction (n, nt*2); the caller closes over
+    network params, the (densified) batch, and the precomputed scene feature
+    so each scan step is a single fused MLP pass.
+
+    Returns (controls (n, nt, 2), all_steps (T, n, nt, 2)) — all_steps are
+    the denormalized per-step decodings (diff_full semantics), with
+    all_steps[-1] == controls.
+    """
+    T = cfg.diffusion_steps
+    trig = jnp.asarray(_trigger_schedule(cfg))
+    k_init, k_loop = jax.random.split(key)
+    x0 = jax.random.normal(k_init, (n, cfg.nt * 2))
+
+    if mono:
+        ext_extra = {"stlp": tmp_stlp, "gt_stlp": tmp_stlp}
+    else:
+        ext_extra = {"stlp": batch["stlp_dense"]}
+
+    def step(carry, xs):
+        x, k = carry
+        t_scalar, triggered = xs          # t = T-1-j for step j
+        k, k_z = jax.random.split(k)
+        t_col = jnp.full((n, 1), t_scalar, dtype=jnp.float32)
+        ext = {"timestep": t_col, "highlevel": highlevel, "noise": x,
+               **ext_extra}
+        eps = apply_fn(ext).reshape(n, cfg.nt * 2)
+        alpha = coeffs.alpha[t_scalar]
+        alpha_hat = coeffs.alpha_hat[t_scalar]
+        beta = coeffs.beta[t_scalar]
+        mu = (x - ((1 - alpha) / jnp.sqrt(1 - alpha_hat)) * eps) / jnp.sqrt(alpha)
+        if guidance_ctx is not None:
+            mu = jax.lax.cond(
+                triggered,
+                lambda m: _guidance_step(m, beta, guidance_ctx, cfg, maximize),
+                lambda m: m, mu)
+        z = jnp.where(t_scalar > 1, jax.random.normal(k_z, x.shape), 0.0)
+        x_next = mu + jnp.sqrt(beta) * z
+        return (x_next, k), x_next
+
+    ts = jnp.arange(T - 1, 0, -1)
+    (_, _), xs_hist = jax.lax.scan(step, (x0, k_loop), (ts, trig))
+    # denormalized per-step decodings incl. the initial noise, excl. dup of
+    # the final step: [x0, x_1, ..., x_{T-1}] -> T entries (reference's
+    # final_list, nusc_train.py:632-634)
+    full = jnp.concatenate([x0[None], xs_hist], axis=0)
+    all_steps = jax.vmap(lambda v: denormalize_controls(v, cfg))(full)
+    return all_steps[-1], all_steps
+
+
+def select_multi_cands(all_steps: Array, k: int, states_flat: Array,
+                       signal_base: Dict[str, Array], highlevel: Array,
+                       formulas, cfg: Config):
+    """Score the last k intermediate decodings under STL and take the
+    per-sample argmax (nusc_train.py:993-1024).
+
+    all_steps: (S, n, nt, 2); returns (best_controls (n, nt, 2),
+    best_scores (n,)).
+    """
+    cands = all_steps[-k:]                                  # (k, n, nt, 2)
+    valid = signal_base["dense_valids"].reshape(-1)
+
+    def score_one(u):
+        trajs = dyn.rollout(states_flat, u, cfg.dt)
+        sig = dict(signal_base)
+        sig["ego_traj"] = trajs[:, :-1]
+        _, scores, _ = specs.compute_scores(sig, formulas, highlevel, valid,
+                                            cfg)
+        return scores
+
+    scores = jax.vmap(score_one)(cands)                     # (k, n)
+    best_i = jnp.argmax(scores, axis=0)                     # (n,)
+    best_scores = jnp.max(scores, axis=0)
+    best = jnp.take_along_axis(cands, best_i[None, :, None, None],
+                               axis=0)[0]
+    return best, best_scores

@@ -1,0 +1,2 @@
+from pstl_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, shard_batch, replicate, data_sharding, psum_metrics)

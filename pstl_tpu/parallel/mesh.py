@@ -1,0 +1,76 @@
+"""Device mesh and sharding helpers.
+
+The reference is single-process/single-GPU (SURVEY.md §2.9 — no NCCL/MPI/
+torch.distributed anywhere); its semantic parallel axes are the dense batch
+(bs x n_randoms x 3) and the candidate axes.  The TPU framework shards those
+embarrassingly-parallel leading axes over a 1-D ``data`` mesh riding ICI:
+
+- batches enter with ``shard_batch`` (leading axis split across devices),
+- params/optimizer state are replicated,
+- loss/metric reductions become compiler-scheduled ``psum``s (jnp.mean inside
+  jit over sharded arrays lowers to the collective automatically),
+- multi-host extends the same mesh over DCN via ``jax.distributed``.
+
+Model parallelism is unnecessary at this scale (~0.5M-param MLP), so the
+design is pure DP with XLA inserting all collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+
+def make_mesh(shape: Optional[Sequence[int]] = None,
+              axis_names: Sequence[str] = ("data",),
+              devices=None) -> Mesh:
+    """1-D (or user-shaped) device mesh.  shape entries of -1 absorb all
+    remaining devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n,)
+    shape = list(shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1])) or 1
+        shape[shape.index(-1)] = n // known
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis, replicate the rest."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Array], mesh: Mesh,
+                axis: str = "data") -> Dict[str, Array]:
+    """Place every batch array with its leading axis split over the mesh.
+    Scalars / split-indivisible arrays are replicated."""
+    n_dev = int(np.prod([mesh.shape[a] for a in (axis,)]))
+    sharded = data_sharding(mesh, axis)
+    repl = replicate(mesh)
+
+    def place(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n_dev == 0:
+            return jax.device_put(x, sharded)
+        return jax.device_put(x, repl)
+
+    return {k: place(v) for k, v in batch.items()}
+
+
+def psum_metrics(metrics: Dict[str, Array], axis: str = "data"):
+    """Explicit cross-device mean for metrics inside shard_map bodies."""
+    return {k: jax.lax.pmean(v, axis) for k, v in metrics.items()}

@@ -1,0 +1,195 @@
+"""DDPM schedule / prep / reverse sampler / guidance / multi-cands."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pstl_tpu import diffusion, specs
+from pstl_tpu.config import Config
+from pstl_tpu.models import Net
+from pstl_tpu.ops import dynamics as dyn
+from tests.test_specs import make_batch
+
+
+def small_cfg(**kw):
+    kw.setdefault("diffusion", True)
+    kw.setdefault("n_randoms", 2)
+    kw.setdefault("n_neighbors", 2)
+    kw.setdefault("diffusion_steps", 10)
+    kw.setdefault("compute_dtype", "float32")
+    return Config(**kw)
+
+
+def test_cosine_schedule_reference_values():
+    """Schedule matches an independent recomputation of the reference
+    formula (nusc_train.py:528-537), incl. the x0.2 scaling."""
+    cfg = small_cfg(diffusion_steps=100)
+    c = diffusion.get_coeffs(cfg)
+    t = np.linspace(0, 1, 101)
+    ab = np.cos((t + 0.008) / 1.008 * np.pi / 2) ** 2
+    beta = np.clip(1 - ab[1:] / ab[:-1], 0, 0.999) * 0.2
+    np.testing.assert_allclose(np.asarray(c.beta), beta, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c.alpha_hat),
+                               np.cumprod(1 - beta), rtol=1e-5)
+    assert float(c.beta[0]) < float(c.beta[-1])  # monotone increasing-ish
+
+
+def test_normalize_denormalize_roundtrip():
+    cfg = small_cfg()
+    rng = np.random.RandomState(0)
+    u = jnp.asarray(rng.uniform(-1, 1, (4, cfg.nt, 2))
+                    * np.array([cfg.mul_w_max, cfg.mul_a_max]),
+                    dtype=jnp.float32)
+    x = diffusion.normalize_controls(u, cfg)
+    back = diffusion.denormalize_controls(x.reshape(4, -1), cfg, clip=False)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(u), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_prep_statistics():
+    """x_t = sqrt(ab)x0 + sqrt(1-ab)eps: marginal variance ~ ab*var(x0)+(1-ab)."""
+    cfg = small_cfg(diffusion_steps=100)
+    coeffs = diffusion.get_coeffs(cfg)
+    bs, M = 64, 2
+    controls = jnp.zeros((bs, M, 3, cfg.nt, 2))    # x0 = 0
+    noise, t, xt = diffusion.prep(jax.random.PRNGKey(0), controls, cfg,
+                                  coeffs)
+    n = bs * M * 3
+    assert noise.shape == (n, cfg.nt * 2) and xt.shape == (n, cfg.nt * 2)
+    assert t.shape == (n, 1)
+    assert int(t.min()) >= 1 and int(t.max()) < cfg.diffusion_steps
+    # with x0=0: xt = sqrt(1-ab_t) * eps exactly
+    ab = np.asarray(coeffs.alpha_hat)[np.asarray(t[:, 0])]
+    np.testing.assert_allclose(np.asarray(xt),
+                               np.sqrt(1 - ab)[:, None] * np.asarray(noise),
+                               rtol=1e-4, atol=1e-5)
+
+
+def make_sampler_setup(cfg, bs=1, guidance=False):
+    batch = make_batch(cfg, bs=bs)
+    batch["neighbors"] = batch["neighbor_trajs_aug"][:, :, 0, :]
+    stlp = specs.calibrate_stlp(batch, batch["ego_traj"][..., :4], cfg)
+    dense = specs.densify_batch(batch, stlp, cfg, key=jax.random.PRNGKey(0))
+    n = bs * cfg.n_randoms * 3
+    net = Net(cfg)
+    ext0 = {"timestep": jnp.ones((n, 1)),
+            "highlevel": dense["highlevel_dense"],
+            "noise": jnp.zeros((n, cfg.nt * 2))}
+    params = net.init(jax.random.PRNGKey(1), dense, ext0)
+    _, feature = net.apply(params, dense, ext0, get_feature=True)
+
+    def apply_fn(ext):
+        return net.apply(params, dense, ext, prev_feature=feature)
+
+    states = batch["ego_traj"][:, 0, :4]
+    states_flat = jnp.broadcast_to(states[:, None, None],
+                                   (bs, cfg.n_randoms, 3, 4)).reshape(n, 4)
+    coeffs = diffusion.get_coeffs(cfg)
+    formulas = specs.build_formulas(cfg)
+    signal_base = specs.dense_signal_input(dense)
+    ctx = (signal_base, dense["highlevel_dense"], states_flat, formulas) \
+        if guidance else None
+    return (apply_fn, dense, feature, states_flat, coeffs, formulas,
+            signal_base, ctx, n)
+
+
+def test_reverse_sampler_shapes_and_determinism():
+    cfg = small_cfg()
+    (apply_fn, dense, feature, states_flat, coeffs, formulas, signal_base,
+     ctx, n) = make_sampler_setup(cfg)
+    controls, all_steps = diffusion.reverse_sample(
+        jax.random.PRNGKey(2), apply_fn, dense, dense["highlevel_dense"],
+        feature, cfg, coeffs, n)
+    assert controls.shape == (n, cfg.nt, 2)
+    assert all_steps.shape == (cfg.diffusion_steps, n, cfg.nt, 2)
+    np.testing.assert_allclose(np.asarray(all_steps[-1]),
+                               np.asarray(controls), atol=1e-6)
+    # same key -> identical samples; different key -> different
+    c2, _ = diffusion.reverse_sample(
+        jax.random.PRNGKey(2), apply_fn, dense, dense["highlevel_dense"],
+        feature, cfg, coeffs, n)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(controls))
+    c3, _ = diffusion.reverse_sample(
+        jax.random.PRNGKey(3), apply_fn, dense, dense["highlevel_dense"],
+        feature, cfg, coeffs, n)
+    assert np.abs(np.asarray(c3) - np.asarray(controls)).max() > 1e-4
+
+
+def test_guidance_improves_robustness():
+    """Guided sampling must score no worse than unguided (same key)."""
+    cfg = small_cfg(guidance=True, guidance_niters=2, guidance_lr=0.05)
+    (apply_fn, dense, feature, states_flat, coeffs, formulas, signal_base,
+     ctx, n) = make_sampler_setup(cfg, guidance=True)
+    valid = signal_base["dense_valids"].reshape(-1)
+
+    def score(controls):
+        trajs = dyn.rollout(states_flat, controls, cfg.dt)
+        sig = dict(signal_base)
+        sig["ego_traj"] = trajs[:, :-1]
+        _, s, _ = specs.compute_scores(sig, formulas,
+                                       dense["highlevel_dense"], valid, cfg)
+        return float(specs.mask_mean(s, valid))
+
+    cfg_off = cfg.with_(guidance=False)
+    c_plain, _ = diffusion.reverse_sample(
+        jax.random.PRNGKey(5), apply_fn, dense, dense["highlevel_dense"],
+        feature, cfg_off, coeffs, n)
+    c_guided, _ = diffusion.reverse_sample(
+        jax.random.PRNGKey(5), apply_fn, dense, dense["highlevel_dense"],
+        feature, cfg, coeffs, n, guidance_ctx=ctx)
+    assert score(c_guided) >= score(c_plain) - 1e-3
+
+
+def test_guidance_trigger_schedule():
+    cfg = small_cfg(guidance=True, guidance_sets=(2, 4))
+    trig = diffusion._trigger_schedule(cfg)
+    # steps run i = 9..1; triggered where i in {2,4}
+    want = [i in (2, 4) for i in range(9, 0, -1)]
+    assert list(trig) == want
+    cfg = small_cfg(guidance=True, guidance_freq=3)
+    trig = diffusion._trigger_schedule(cfg)
+    want = [(i % 3) == 0 for i in range(9, 0, -1)]
+    assert list(trig) == want
+    cfg = small_cfg(guidance=True, guidance_before=4)
+    trig = diffusion._trigger_schedule(cfg)
+    want = [i <= 4 for i in range(9, 0, -1)]
+    assert list(trig) == want
+
+
+def test_multi_cands_selection():
+    cfg = small_cfg()
+    (apply_fn, dense, feature, states_flat, coeffs, formulas, signal_base,
+     ctx, n) = make_sampler_setup(cfg)
+    _, all_steps = diffusion.reverse_sample(
+        jax.random.PRNGKey(7), apply_fn, dense, dense["highlevel_dense"],
+        feature, cfg, coeffs, n)
+    best, best_scores = diffusion.select_multi_cands(
+        all_steps, 3, states_flat, signal_base, dense["highlevel_dense"],
+        formulas, cfg)
+    assert best.shape == (n, cfg.nt, 2)
+    # best >= each candidate's score
+    valid = signal_base["dense_valids"].reshape(-1)
+    for k in range(1, 4):
+        trajs = dyn.rollout(states_flat, all_steps[-k], cfg.dt)
+        sig = dict(signal_base)
+        sig["ego_traj"] = trajs[:, :-1]
+        _, s, _ = specs.compute_scores(sig, formulas,
+                                       dense["highlevel_dense"], valid, cfg)
+        assert np.all(np.asarray(best_scores) >= np.asarray(s) - 1e-4)
+
+
+def test_sampler_jits():
+    cfg = small_cfg()
+    (apply_fn, dense, feature, states_flat, coeffs, formulas, signal_base,
+     ctx, n) = make_sampler_setup(cfg)
+
+    @jax.jit
+    def run(key):
+        c, _ = diffusion.reverse_sample(key, apply_fn, dense,
+                                        dense["highlevel_dense"], feature,
+                                        cfg, coeffs, n)
+        return c
+
+    c = run(jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(c)))

@@ -1,0 +1,168 @@
+"""Driving spec layer: calibration self-consistency, dense layout, scoring."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pstl_tpu import specs
+from pstl_tpu.config import Config
+from pstl_tpu.ops import dynamics as dyn
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(diffusion=True, n_randoms=4, n_neighbors=2, nt=20)
+
+
+def make_batch(cfg, bs=3, seed=0):
+    """Synthetic straight-road scene with a GT trajectory driving the lane."""
+    rng = np.random.RandomState(seed)
+    n_segs = cfg.n_segs
+    xs = np.linspace(-5, 60, n_segs)
+    lane = np.stack([xs, np.zeros(n_segs), np.zeros(n_segs)], -1)
+    batch = {
+        "currlane_wpts": np.tile(lane, (bs, 1, 1)).astype(np.float32),
+        "leftlane_wpts": np.tile(lane + [0, 3.5, 0], (bs, 1, 1)).astype(np.float32),
+        "rightlane_wpts": np.tile(lane + [0, -3.5, 0], (bs, 1, 1)).astype(np.float32),
+        "curr_id": np.ones((bs, 1), np.float32),
+        "left_id": np.ones((bs, 1), np.float32),
+        "right_id": np.zeros((bs, 1), np.float32),
+        "gt_high_level": np.zeros((bs, 1), np.float32),
+    }
+    # GT: drive straight down the current lane at ~5 m/s with tiny noise
+    s0 = np.zeros((bs, 4), np.float32)
+    s0[:, 3] = 5.0 + rng.rand(bs)
+    us = np.zeros((bs, cfg.nt, 2), np.float32)
+    us[:, :, 1] = rng.randn(bs, cfg.nt) * 0.1
+    traj = np.asarray(dyn.rollout(jnp.asarray(s0), jnp.asarray(us), cfg.dt))
+    batch["ego_traj"] = traj[:, :-1].astype(np.float32)
+    # one valid neighbor far ahead in the other lane, one invalid
+    K, T = cfg.n_neighbors, cfg.nt
+    nei = np.zeros((bs, K, T, 7), np.float32)
+    nei[:, 0, :, 0] = 1.0
+    nei[:, 0, :, 1] = 40.0
+    nei[:, 0, :, 2] = 3.5
+    nei[:, 0, :, 5:7] = [4.0, 2.0]
+    batch["neighbor_trajs_aug"] = nei
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def test_calibrated_gt_satisfies_own_spec(cfg):
+    """The reference's --check_stl_params golden test (nusc_train.py:816-875):
+    GT trajectories must satisfy the spec calibrated from themselves."""
+    batch = make_batch(cfg)
+    gt = batch["ego_traj"][..., :4]
+    stlp = specs.calibrate_stlp(batch, gt, cfg)
+    formulas = specs.build_formulas(cfg)
+    signals = {
+        "ego_traj": gt,
+        "neighbors": batch["neighbor_trajs_aug"],
+        "currlane_wpts": batch["currlane_wpts"],
+        "leftlane_wpts": batch["leftlane_wpts"],
+        "rightlane_wpts": batch["rightlane_wpts"],
+        "stlp": stlp[:, None, :],
+    }
+    hl = batch["gt_high_level"][:, 0]
+    mask = (hl != 3).astype(jnp.float32)
+    _, scores, acc = specs.compute_scores(signals, formulas, hl, mask, cfg)
+    assert float(acc) == 1.0, f"GT violates its own calibrated spec: {scores}"
+
+
+def test_calibration_flex_widens(cfg):
+    batch = make_batch(cfg)
+    gt = batch["ego_traj"][..., :4]
+    tight = specs.calibrate_stlp(batch, gt, cfg.with_(flex=False))
+    wide = specs.calibrate_stlp(batch, gt, cfg.with_(flex=True))
+    assert np.all(np.asarray(wide[:, 0]) <= np.asarray(tight[:, 0]))  # vmin
+    assert np.all(np.asarray(wide[:, 1]) >= np.asarray(tight[:, 1]))  # vmax
+
+
+def test_densify_shapes(cfg):
+    bs = 3
+    batch = make_batch(cfg, bs=bs)
+    gt = batch["ego_traj"][..., :4]
+    stlp = specs.calibrate_stlp(batch, gt, cfg)
+    dense = specs.densify_batch(batch, stlp, cfg, key=jax.random.PRNGKey(0))
+    m = cfg.n_randoms * 3
+    assert dense["neighbors_dense"].shape == (bs * m, cfg.n_neighbors, cfg.nt, 7)
+    assert dense["currlane_wpts_dense"].shape == (bs * m, cfg.n_segs, 3)
+    assert dense["stlp_dense"].shape == (bs * m, 1, 6)
+    assert dense["valids_dense"].shape == (bs * cfg.n_randoms, 3)
+    assert dense["highlevel_dense"].shape == (bs * m, 1)
+    # highlevel tiling is [0, 1, 2] repeating
+    np.testing.assert_allclose(np.asarray(dense["highlevel_dense"][:6, 0]),
+                               [0, 1, 2, 0, 1, 2])
+    # right lane invalid everywhere in this fixture
+    np.testing.assert_allclose(np.asarray(dense["valids_dense"][:, 2]), 0.0)
+
+
+def test_dense_stlp_keeps_gt_on_label(cfg):
+    """Rows whose maneuver matches the GT label carry the calibrated params."""
+    bs = 2
+    batch = make_batch(cfg, bs=bs)
+    gt = batch["ego_traj"][..., :4]
+    stlp = specs.calibrate_stlp(batch, gt, cfg.with_(flex=True))
+    dense = specs.get_dense_stlp(jax.random.PRNGKey(1),
+                                 batch["gt_high_level"], stlp,
+                                 cfg.with_(flex=True))
+    dense = np.asarray(dense).reshape(bs, cfg.n_randoms, 3, 6)
+    # gt_high_level = 0 (keep) -> maneuver-0 rows == calibrated stlp
+    for b in range(bs):
+        np.testing.assert_allclose(
+            dense[b, :, 0], np.tile(np.asarray(stlp[b]), (cfg.n_randoms, 1)),
+            rtol=1e-5)
+        # off-label rows differ from calibrated (flex randomization)
+        assert not np.allclose(dense[b, :, 1], np.asarray(stlp[b]))
+
+
+def test_outlier_rows_score_one(cfg):
+    batch = make_batch(cfg)
+    gt = batch["ego_traj"][..., :4]
+    stlp = specs.calibrate_stlp(batch, gt, cfg)
+    formulas = specs.build_formulas(cfg)
+    signals = {
+        "ego_traj": gt,
+        "neighbors": batch["neighbor_trajs_aug"],
+        "currlane_wpts": batch["currlane_wpts"],
+        "leftlane_wpts": batch["leftlane_wpts"],
+        "rightlane_wpts": batch["rightlane_wpts"],
+        "stlp": stlp[:, None, :],
+    }
+    hl = jnp.full((3,), 3.0)     # all outliers
+    _, scores, acc = specs.compute_scores(signals, formulas, hl,
+                                          jnp.ones((3,)), cfg)
+    np.testing.assert_allclose(np.asarray(scores), 1.0)
+
+
+def test_scores_jit_and_grad(cfg):
+    """The scoring path must be jittable and differentiable w.r.t. the
+    trajectory (this is the guidance gradient path)."""
+    batch = make_batch(cfg)
+    gt = batch["ego_traj"][..., :4]
+    stlp = specs.calibrate_stlp(batch, gt, cfg)
+    formulas = specs.build_formulas(cfg)
+    hl = batch["gt_high_level"][:, 0]
+    mask = jnp.ones((3,))
+
+    @jax.jit
+    def loss(traj):
+        signals = {
+            "ego_traj": traj,
+            "neighbors": batch["neighbor_trajs_aug"],
+            "currlane_wpts": batch["currlane_wpts"],
+            "leftlane_wpts": batch["leftlane_wpts"],
+            "rightlane_wpts": batch["rightlane_wpts"],
+            "stlp": stlp[:, None, :],
+        }
+        _, scores, _ = specs.compute_scores(signals, formulas, hl, mask, cfg)
+        return jnp.mean(jax.nn.relu(0.01 - scores))
+
+    g = jax.grad(loss)(gt)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_mask_mean():
+    x = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    m = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    np.testing.assert_allclose(float(specs.mask_mean(x, m)), 1.5, rtol=1e-6)
