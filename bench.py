@@ -1,0 +1,123 @@
+"""North-star benchmark: closed-loop agent-steps/sec on one TPU chip.
+
+Runs the full reference-parity planning stack per sim step — 99-step DDPM
+reverse pass, STL-guidance gradient ascent inside the sampler, multi-candidate
+selection, RefineNet rectification, n_rolls re-rectification, lane-keep
+argmax — batched over many scenes, with the environment stepped on device
+(pstl_tpu.sim.run_closed_loop).
+
+Baseline: the reference's closed-loop "Ours+guidance" plan time is
+0.379 s/step on a V100-class GPU => ~2.6 agent-steps/sec (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_STEPS_PER_SEC = 2.6   # 1 / 0.379s (BASELINE.md table II)
+
+
+def main():
+    # persistent compile cache: repeat bench runs skip the big XLA compile
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/pstl_tpu_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    import jax
+    import jax.numpy as jnp
+    from pstl_tpu import diffusion, sim, specs
+    from pstl_tpu.config import Config
+    from pstl_tpu.data import synthetic
+    from pstl_tpu.models import Net
+
+    # reference "Ours+guidance" closed-loop configuration
+    # (README e7 + guidance flags; multi_cands=10, n_rolls=3)
+    cfg = Config(diffusion=True, rect_head=True, diverse_loss=True,
+                 multi_cands=10, guidance=True, guidance_niters=3,
+                 n_rolls=3, n_randoms=64, n_neighbors=8,
+                 flex=True).finalize().with_(epochs=1, test=True)
+
+    bs = int(os.environ.get("BENCH_SCENES", "16"))
+    max_steps = int(os.environ.get("BENCH_STEPS", "8"))
+
+    data = synthetic.generate_dataset(0, bs, cfg, scene_len=38)
+    scenes = sim.scenes_from_dataset(data)
+
+    net = Net(cfg)
+    formulas = specs.build_formulas(cfg)
+    coeffs = diffusion.get_coeffs(cfg)
+
+    # init params — everything jitted: eager dispatch through the TPU
+    # tunnel costs seconds per primitive
+    n = bs * cfg.n_randoms * 3
+
+    @jax.jit
+    def init_params(key):
+        obs0 = jax.vmap(lambda s, e, t: sim.observe(s, e, t, cfg),
+                        in_axes=(0, 0, 0))(
+            scenes, scenes.ego_full[:, 0], jnp.zeros((bs,), jnp.int32))
+        gt_stlp = jnp.broadcast_to(jnp.asarray(sim.AGGRESSIVE_STLP), (bs, 6))
+        dense0 = specs.densify_batch(
+            obs0, gt_stlp, cfg, key=key,
+            stlp_dense=jnp.broadcast_to(jnp.asarray(sim.AGGRESSIVE_STLP),
+                                        (n, 1, 6)))
+        ext0 = {"timestep": jnp.ones((n, 1)),
+                "highlevel": dense0["highlevel_dense"],
+                "noise": jnp.zeros((n, cfg.nt * 2))}
+        return net.init(key, dense0, ext0, method=Net.init_all)
+
+    params = init_params(jax.random.PRNGKey(1))
+    ckpt = os.environ.get("BENCH_CKPT")
+    if ckpt:
+        from pstl_tpu import train as _train
+        state = _train.TrainState(params, None, 0)
+        params = _train.load_params_only(ckpt, state).params
+
+    init_carry, step = sim.make_closed_loop_step(scenes, cfg, net, params,
+                                                 formulas, coeffs)
+
+    # compile
+    print("# compiling closed-loop step...", file=sys.stderr, flush=True)
+    t0 = time.time()
+    c = jax.block_until_ready(step(init_carry(jax.random.PRNGKey(0))))
+    compile_s = time.time() - t0
+    print(f"# compiled in {compile_s:.0f}s", file=sys.stderr, flush=True)
+    # timed episodes (steady state). Every step() plans for ALL scenes
+    # (done-masking zeroes metrics, not compute), so throughput counts
+    # bs plans per call — the work a deployment would batch.
+    c = init_carry(jax.random.PRNGKey(1))
+    t0 = time.time()
+    for _ in range(max_steps):
+        c = step(c)
+    out = jax.block_until_ready(sim._carry_metrics(c))
+    wall = time.time() - t0
+    agent_steps = float(bs * max_steps)
+    sps = agent_steps / wall
+
+    result = {
+        "metric": "closed-loop agent-steps/sec/chip (DDPM T=100 + STL "
+                  "guidance + RefineNet)",
+        "value": round(sps, 2),
+        "unit": "agent-steps/s",
+        "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 2),
+        "detail": {
+            "scenes": bs, "steps_run": agent_steps, "wall_s": round(wall, 3),
+            "compile_s": round(compile_s, 1),
+            "collide_rate": round(float(out["collide"].mean()), 3),
+            "out_of_lane_rate": round(float(out["out_of_lane"].mean()), 3),
+            "mean_progress_m": round(float(out["progress"].mean()), 2),
+            "stl_compliance": round(float(out["stl_acc"].mean()), 3),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

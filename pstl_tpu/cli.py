@@ -1,0 +1,208 @@
+"""Command-line interface.
+
+Parity target: the reference's single argparse parser (~115 flags,
+``nusc_train.py:1635-1814``) and its README e0..e8 command presets.  The TPU
+build exposes subcommands over the same semantic knobs:
+
+  python -m pstl_tpu.cli data     --out cache.npz [--scenes N] [--scene-len L]
+  python -m pstl_tpu.cli trajopt  --cache cache.npz --out cache_aug.npz
+  python -m pstl_tpu.cli train    --preset e5_ddpm --cache cache_aug.npz ...
+  python -m pstl_tpu.cli eval     --preset e7_ours --cache ... --ckpt ...
+  python -m pstl_tpu.cli sim      --preset ours_guidance --ckpt ...
+  python -m pstl_tpu.cli presets
+
+Every Config field is addressable as ``--set key=value`` overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+from pstl_tpu.config import Config, PRESETS
+
+
+def _parse_value(field_type, raw: str):
+    if raw.lower() in ("none", "null"):
+        return None
+    if raw.lower() in ("true", "false"):
+        return raw.lower() == "true"
+    for cast in (int, float):
+        try:
+            return cast(raw)
+        except ValueError:
+            pass
+    if "," in raw:
+        return tuple(_parse_value(None, x) for x in raw.split(","))
+    return raw
+
+
+def build_config(args) -> Config:
+    cfg = PRESETS[args.preset] if args.preset else Config()
+    overrides = {}
+    for kv in args.set or []:
+        k, v = kv.split("=", 1)
+        if not hasattr(cfg, k):
+            sys.exit(f"unknown config field: {k}")
+        overrides[k] = _parse_value(None, v)
+    if args.exp_name:
+        overrides["exp_name"] = args.exp_name
+    cfg = cfg.with_(**overrides)
+    return cfg.finalize() if not args.preset else cfg.with_(**overrides)
+
+
+def add_common(p):
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None)
+    p.add_argument("--set", nargs="*", metavar="KEY=VALUE",
+                   help="override any Config field")
+    p.add_argument("--exp-name", "-e", default=None)
+    p.add_argument("--cache", default=None, help="scene dataset npz path")
+    p.add_argument("--ckpt", "-P", default=None,
+                   help="pretrained checkpoint dir")
+
+
+def load_dataset(cfg: Config, args, scene_len=None):
+    from pstl_tpu.data.dataset import SceneDataset
+    if args.cache:
+        return SceneDataset.load(args.cache, cfg)
+    return SceneDataset.from_synthetic(cfg, scene_len=scene_len)
+
+
+def cmd_data(args):
+    cfg = build_config(args)
+    from pstl_tpu.data.dataset import SceneDataset
+    ds = SceneDataset.from_synthetic(
+        cfg, n_scenes=args.scenes, scene_len=args.scene_len)
+    ds.save(args.out)
+    print(f"wrote {len(ds)} scenes -> {args.out}")
+
+
+def cmd_trajopt(args):
+    cfg = build_config(args).with_(flex=True)
+    from pstl_tpu import specs, trajopt
+    ds = load_dataset(cfg, args)
+    formulas = specs.build_formulas(cfg)
+    trajopt.augment_dataset(ds, cfg, formulas,
+                            batch_size=min(cfg.batch_size, len(ds)),
+                            iters=args.iters)
+    ds.save(args.out)
+    print(f"augmented {len(ds)} scenes -> {args.out}")
+
+
+def cmd_train(args):
+    cfg = build_config(args)
+    if args.ckpt:
+        cfg = cfg.with_(net_pretrained_path=args.ckpt)
+    from pstl_tpu import train
+    from pstl_tpu.parallel import make_mesh
+    from pstl_tpu.utils.exp import setup_exp_dir
+    if cfg.exp_name:
+        setup_exp_dir(cfg)
+    ds = load_dataset(cfg, args)
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names) \
+        if args.mesh else None
+    train.train(cfg, ds, mesh=mesh, epochs=args.epochs)
+
+
+def cmd_eval(args):
+    cfg = build_config(args).with_(test=True, epochs=1)
+    from pstl_tpu import eval_openloop, train
+    from pstl_tpu.data.dataset import batch_iterator
+    from pstl_tpu.models import Net
+    import jax
+    ds = load_dataset(cfg, args)
+    net = Net(cfg)
+    sample = next(batch_iterator(ds, "val", min(cfg.batch_size, 4),
+                                 shuffle=False, drop_last=False))
+    state = train.init_state(cfg, net, sample, jax.random.PRNGKey(cfg.seed))
+    if args.ckpt:
+        state = train.load_params_only(args.ckpt, state)
+    out = eval_openloop.run(cfg, ds, state.params, net=net,
+                            n_trials=args.trials)
+    print(json.dumps({k: round(v, 4) for k, v in out.items()}, indent=2))
+
+
+def cmd_sim(args):
+    cfg = build_config(args).with_(test=True, epochs=1)
+    import jax
+    import jax.numpy as jnp
+    from pstl_tpu import diffusion, sim, specs, train
+    from pstl_tpu.data import synthetic
+    from pstl_tpu.models import Net
+    data = synthetic.generate_dataset(cfg.seed, args.scenes, cfg,
+                                      scene_len=args.scene_len)
+    scenes = sim.scenes_from_dataset(data)
+    net = Net(cfg)
+    from pstl_tpu.data.dataset import SceneDataset
+    ds = SceneDataset(
+        {k: v for k, v in data.items() if not k.startswith("scene_")}, cfg)
+    from pstl_tpu.data.dataset import batch_iterator
+    sample = next(batch_iterator(ds, "val", min(args.scenes, 4),
+                                 shuffle=False, drop_last=False))
+    state = train.init_state(cfg, net, sample, jax.random.PRNGKey(cfg.seed))
+    if args.ckpt:
+        state = train.load_params_only(args.ckpt, state)
+    formulas = specs.build_formulas(cfg)
+    coeffs = diffusion.get_coeffs(cfg)
+    out = jax.jit(lambda k: sim.run_closed_loop(
+        k, scenes, cfg, net, state.params, formulas, coeffs,
+        max_steps=args.steps))(jax.random.PRNGKey(0))
+    res = {k: (float(v.mean()) if hasattr(v, "mean") else float(v))
+           for k, v in out.items()}
+    print(json.dumps({k: round(v, 4) for k, v in res.items()}, indent=2))
+
+
+def cmd_presets(args):
+    for name, cfg in sorted(PRESETS.items()):
+        d = {k: v for k, v in cfg.to_dict().items()
+             if v != getattr(Config(), k, None)}
+        print(f"{name}: {json.dumps(d, default=str)}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("pstl_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("data", help="generate/extract a scene dataset")
+    add_common(d)
+    d.add_argument("--out", required=True)
+    d.add_argument("--scenes", type=int, default=512)
+    d.add_argument("--scene-len", type=int, default=None)
+    d.set_defaults(fn=cmd_data)
+
+    t = sub.add_parser("trajopt", help="trajopt data augmentation")
+    add_common(t)
+    t.add_argument("--out", required=True)
+    t.add_argument("--iters", type=int, default=None)
+    t.set_defaults(fn=cmd_trajopt)
+
+    tr = sub.add_parser("train", help="train a policy")
+    add_common(tr)
+    tr.add_argument("--epochs", type=int, default=None)
+    tr.add_argument("--mesh", action="store_true",
+                    help="shard batches over all local devices")
+    tr.set_defaults(fn=cmd_train)
+
+    ev = sub.add_parser("eval", help="open-loop evaluation")
+    add_common(ev)
+    ev.add_argument("--trials", type=int, default=None)
+    ev.set_defaults(fn=cmd_eval)
+
+    si = sub.add_parser("sim", help="closed-loop simulation")
+    add_common(si)
+    si.add_argument("--scenes", type=int, default=8)
+    si.add_argument("--scene-len", type=int, default=38)
+    si.add_argument("--steps", type=int, default=36)
+    si.set_defaults(fn=cmd_sim)
+
+    pr = sub.add_parser("presets", help="list named presets")
+    pr.set_defaults(fn=cmd_presets)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

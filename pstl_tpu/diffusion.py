@@ -188,7 +188,10 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
     all_steps[-1] == controls.
     """
     T = cfg.diffusion_steps
-    trig = jnp.asarray(_trigger_schedule(cfg))
+    trig_np = _trigger_schedule(cfg)
+    use_guidance = guidance_ctx is not None and bool(trig_np.any())
+    always_guided = use_guidance and bool(trig_np.all())
+    trig = jnp.asarray(trig_np)
     k_init, k_loop = jax.random.split(key)
     x0 = jax.random.normal(k_init, (n, cfg.nt * 2))
 
@@ -209,11 +212,15 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
         alpha_hat = coeffs.alpha_hat[t_scalar]
         beta = coeffs.beta[t_scalar]
         mu = (x - ((1 - alpha) / jnp.sqrt(1 - alpha_hat)) * eps) / jnp.sqrt(alpha)
-        if guidance_ctx is not None:
-            mu = jax.lax.cond(
-                triggered,
-                lambda m: _guidance_step(m, beta, guidance_ctx, cfg, maximize),
-                lambda m: m, mu)
+        if use_guidance:
+            if always_guided:   # static schedule: no cond, straight-line HLO
+                mu = _guidance_step(mu, beta, guidance_ctx, cfg, maximize)
+            else:
+                mu = jax.lax.cond(
+                    triggered,
+                    lambda m: _guidance_step(m, beta, guidance_ctx, cfg,
+                                             maximize),
+                    lambda m: m, mu)
         z = jnp.where(t_scalar > 1, jax.random.normal(k_z, x.shape), 0.0)
         x_next = mu + jnp.sqrt(beta) * z
         return (x_next, k), x_next

@@ -65,7 +65,10 @@ def dpp_diversity(rect_controls: Array, scores: Array, cfg: Config) -> Array:
     quality = scores.reshape(bs, M, 3)
     quality = jnp.transpose(quality, (0, 2, 1)).reshape(bs * 3 * NS, g)
 
-    dist = jnp.linalg.norm(samples[:, :, None] - samples[:, None, :], axis=-1)
+    diff = samples[:, :, None] - samples[:, None, :]
+    # safe norm: plain jnp.linalg.norm has a NaN gradient at the zero
+    # diagonal; the +eps keeps d(dist)/d(samples) finite (and 0) there
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
     sim = jnp.exp(-cfg.diversity_scale * dist)
     if cfg.diverse_detach:
         q = jax.lax.stop_gradient((quality > 0).astype(sim.dtype))

@@ -270,6 +270,10 @@ class Net(nn.Module):
             fused = self.merge_net(init_controls.reshape(-1, cfg.nt * 2))
             bs = n // (3 * cfg.n_randoms)
             NS = cfg.n_shards
+            assert cfg.n_randoms % NS == 0 and n % (3 * cfg.n_randoms) == 0, (
+                f"rect diversity fusion needs n_randoms ({cfg.n_randoms}) "
+                f"divisible by n_shards ({NS}) and rows ({n}) divisible by "
+                f"3*n_randoms")
             fused = fused.reshape(bs, cfg.n_randoms, 3, cfg.nt * 2)
             fused = jnp.transpose(fused, (0, 2, 1, 3))
             fused = fused.reshape(bs, 3, NS, cfg.n_randoms // NS, cfg.nt * 2)

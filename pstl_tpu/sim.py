@@ -1,0 +1,386 @@
+"""Device-resident closed-loop replanning simulator.
+
+Parity target: ``nusc_sim.py`` (``NuScenesSim`` env :25-354 + driver main
+:356-755).  The reference re-enters the Python NuScenes devkit every sim step
+for map/neighbor queries; here every scene is pre-extracted into fixed-shape
+tensors (see ``data/synthetic.py`` scene_* outputs) so the WHOLE episode —
+planner (full DDPM reverse pass + guidance + multi-cands + RefineNet), ego
+Euler step, neighbor playback, lane re-windowing around the *simulated* pose,
+collision and out-of-lane checks, and metric accumulation — is one jitted
+``lax.scan`` vmapped over a batch of scenes.  This is the surface behind the
+north-star benchmark (closed-loop agent-steps/sec/chip).
+
+Deviations from the reference (documented):
+- lanes are re-windowed on device from the dense centerline instead of
+  devkit map queries (same information for synthetic scenes);
+- out-of-lane uses the analytic drivable corridor |lateral offset| <= width
+  over the valid lanes instead of the rasterized ``drivable_area`` layer;
+- episodes run a fixed max length with done-masking (XLA-friendly) instead
+  of early python exit.
+
+The aggressive closed-loop stlp override mirrors nusc_sim.py:444-472; mode
+restriction to lane-keep + argmax robustness mirrors nusc_sim.py:677-683.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pstl_tpu import diffusion, specs
+from pstl_tpu.config import Config
+from pstl_tpu.models import Net
+from pstl_tpu.ops import dynamics as dyn
+from pstl_tpu.ops import geometry as geom
+
+Array = jax.Array
+
+LANE_OFFSET = 3.5
+D_SAFE = 0.1           # collision threshold (nusc_sim.py:113)
+CORRIDOR_HALF = 2.5    # analytic drivable half-width per valid lane
+
+# fixed aggressive stlp override (nusc_sim.py:466-472)
+AGGRESSIVE_STLP = np.array([1.0, 9.0, -3.0, 2.0, 0.1, 0.2], np.float32)
+
+
+class SceneTensors(NamedTuple):
+    """Per-scene pre-extracted tensors (stack for a batch)."""
+    ego_full: Array       # (L_full, 4) GT ego states (x, y, th, v)
+    nei_full: Array       # (K, L_full, 7) neighbor tracks
+    center_dense: Array   # (n_dense, 3) dense current-lane centerline
+    lane_valids: Array    # (3,) [curr, left, right] validity
+    length: Array         # () scene length (sim steps)
+
+
+def scenes_from_dataset(data: Dict[str, np.ndarray]) -> SceneTensors:
+    return SceneTensors(
+        ego_full=jnp.asarray(data["scene_ego_full"]),
+        nei_full=jnp.asarray(data["scene_nei_full"]),
+        center_dense=jnp.asarray(data["scene_center_dense"]),
+        lane_valids=jnp.asarray(data["scene_lane_valids"]),
+        length=jnp.asarray(data["scene_len"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# on-device observation extraction
+# ---------------------------------------------------------------------------
+
+def lane_window_device(center_dense: Array, pose_xy: Array,
+                       n_segs: int) -> Array:
+    """Re-window the dense centerline around a pose — the device replacement
+    for the reference's per-step ``get_centerlines`` devkit call
+    (nusc_sim.py:145-147)."""
+    n_dense = center_dense.shape[0]
+    d2 = jnp.sum((center_dense[:, :2] - pose_xy) ** 2, axis=-1)
+    i0 = jnp.maximum(jnp.argmin(d2) - 2, 0)
+    stride = jnp.maximum((n_dense - i0 - 1) // (n_segs * 2), 1)
+    idx = jnp.clip(i0 + jnp.arange(n_segs) * stride, 0, n_dense - 1)
+    return center_dense[idx]
+
+
+def offset_lane_device(lane: Array, offset: float) -> Array:
+    nx = -jnp.sin(lane[:, 2])
+    ny = jnp.cos(lane[:, 2])
+    return lane.at[:, 0].add(nx * offset).at[:, 1].add(ny * offset)
+
+
+def observe(scene: SceneTensors, ego_state: Array, t: Array,
+            cfg: Config) -> Dict[str, Array]:
+    """Fixed-shape observation for ONE scene at sim time t (unbatched;
+    callers vmap)."""
+    nt, k = cfg.nt, cfg.n_neighbors
+    nei_win = jax.lax.dynamic_slice_in_dim(scene.nei_full, t, nt, axis=1)
+    curr = lane_window_device(scene.center_dense, ego_state[:2], cfg.n_segs)
+    left = offset_lane_device(curr, LANE_OFFSET) * scene.lane_valids[1]
+    right = offset_lane_device(curr, -LANE_OFFSET) * scene.lane_valids[2]
+    ego_traj = jnp.broadcast_to(ego_state, (nt, 4))
+    ego_traj = jnp.concatenate(
+        [ego_traj, jnp.full((nt, 1), cfg.ego_L), jnp.full((nt, 1), cfg.ego_W)],
+        axis=-1)
+    return {
+        "ego_traj": ego_traj,
+        "neighbors": nei_win[:, 0],
+        "neighbors_traj": nei_win,
+        "neighbor_trajs_aug": nei_win,
+        "currlane_wpts": curr,
+        "leftlane_wpts": left,
+        "rightlane_wpts": right,
+        "curr_id": scene.lane_valids[0:1],
+        "left_id": scene.lane_valids[1:2],
+        "right_id": scene.lane_valids[2:3],
+        "gt_high_level": jnp.zeros((1,)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# planner
+# ---------------------------------------------------------------------------
+
+def make_planner(cfg: Config, net: Net, params, formulas,
+                 coeffs: diffusion.Coeffs) -> Callable:
+    """Returns plan(key, obs_batch) -> (u0 (bs, 2), info dict).
+
+    Full reference planning pipeline (nusc_sim.py:409-683): densify with the
+    aggressive stlp override, DDPM reverse pass (guidance maximize=True),
+    multi-cands + RefineNet + n_rolls re-rectification, lane-keep restriction,
+    argmax robustness, first control extracted.
+    """
+    M = cfg.n_randoms
+
+    def plan(key, obs):
+        bs = obs["ego_traj"].shape[0]
+        n = bs * M * 3
+        k_dense, k_sample = jax.random.split(key)
+        states = obs["ego_traj"][:, 0, :4]
+        gt_stlp = jnp.broadcast_to(jnp.asarray(AGGRESSIVE_STLP), (bs, 6))
+        stlp_dense = jnp.broadcast_to(jnp.asarray(AGGRESSIVE_STLP),
+                                      (n, 1, 6))
+        dense = specs.densify_batch(obs, gt_stlp, cfg, key=k_dense,
+                                    stlp_dense=stlp_dense)
+        highlevel = dense["highlevel_dense"]
+        signal_base = specs.dense_signal_input(dense)
+        valid = dense["valids_dense"].reshape(-1)
+        states_flat = jnp.broadcast_to(states[:, None, None],
+                                       (bs, M, 3, 4)).reshape(n, 4)
+
+        def score_controls(u):
+            trajs = dyn.rollout(states_flat, u, cfg.dt)
+            sig = dict(signal_base)
+            sig["ego_traj"] = trajs[:, :-1]
+            _, s, acc = specs.compute_scores(sig, formulas, highlevel, valid,
+                                             cfg)
+            return s, acc, trajs
+
+        ext0 = {"timestep": jnp.ones((n, 1)), "highlevel": highlevel,
+                "noise": jnp.zeros((n, cfg.nt * 2))}
+        _, feature = net.apply(params, dense, ext0, get_feature=True)
+
+        def apply_fn(e):
+            return net.apply(params, dense, e, prev_feature=feature)
+
+        guidance_ctx = ((signal_base, highlevel, states_flat, formulas)
+                        if cfg.guidance else None)
+        nn_controls, all_steps = diffusion.reverse_sample(
+            k_sample, apply_fn, dense, highlevel, feature, cfg, coeffs, n,
+            guidance_ctx=guidance_ctx, maximize=True)
+
+        if cfg.rect_head and not cfg.not_use_rect:
+            if cfg.multi_cands is not None:
+                nn_controls, prev_scores = diffusion.select_multi_cands(
+                    all_steps, cfg.multi_cands, states_flat, signal_base,
+                    highlevel, formulas, cfg)
+            else:
+                prev_scores, _, _ = score_controls(nn_controls)
+            controls = net.apply(params, feature, highlevel,
+                                 dense["stlp_dense"][:, 0], nn_controls,
+                                 prev_scores, method=Net.rect)
+            for _ in range(cfg.n_rolls or 0):
+                s_re, _, _ = score_controls(controls)
+                controls = net.apply(params, feature, highlevel,
+                                     dense["stlp_dense"][:, 0], controls,
+                                     s_re, method=Net.rect)
+        else:
+            controls = nn_controls
+
+        scores, acc, trajs = score_controls(controls)
+        # lane-keep only + argmax robustness (nusc_sim.py:677-683)
+        scores3 = scores.reshape(bs, M, 3)
+        keep_scores = jnp.where(
+            jnp.arange(3)[None, None, :] == 0, scores3, -10000.0)
+        flat = keep_scores.reshape(bs, M * 3)
+        best = jnp.argmax(flat, axis=-1)
+        u_all = controls.reshape(bs, M * 3, cfg.nt, 2)
+        tr_all = trajs.reshape(bs, M * 3, cfg.nt + 1, 4)
+        u_best = jnp.take_along_axis(
+            u_all, best[:, None, None, None], axis=1)[:, 0]
+        tr_best = jnp.take_along_axis(
+            tr_all, best[:, None, None, None], axis=1)[:, 0]
+        stl_acc = jnp.mean((keep_scores[:, :, 0] > 0).astype(jnp.float32),
+                           axis=-1)
+        info = {"controls": controls, "trajs": trajs, "scores": scores,
+                "plan_traj": tr_best, "stl_acc": stl_acc,
+                "valids_dense": dense["valids_dense"]}
+        return u_best[:, 0, :], info
+
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# environment step (batched)
+# ---------------------------------------------------------------------------
+
+def env_step(scene: SceneTensors, ego_state: Array, t: Array, u: Array,
+             cfg: Config):
+    """One Euler step + collision / out-of-lane checks for one scene
+    (nusc_sim.py:108-227).  Unbatched; callers vmap."""
+    new_state = ego_state + dyn.dynamics(ego_state, u) * cfg.dt
+    nei_next = jax.lax.dynamic_index_in_dim(scene.nei_full, t + 1, axis=1,
+                                            keepdims=False)   # (K, 7)
+    clear = geom.car_clearance(new_state[None, :3], cfg.ego_L, cfg.ego_W,
+                               nei_next[:, 1:4], nei_next[:, 5],
+                               nei_next[:, 6], cfg.refined_nL, cfg.refined_nW)
+    clear = jnp.clip(clear, -5.0, 20.0) * nei_next[:, 0] \
+        + (1 - nei_next[:, 0]) * 100.0
+    collide = jnp.min(clear) < D_SAFE
+    # analytic drivable corridor over valid lanes
+    curr = lane_window_device(scene.center_dense, new_state[:2], cfg.n_segs)
+    d = geom.point_to_polyline(new_state[None, None, :3], curr[None])[0, 0]
+    offsets = jnp.asarray([0.0, LANE_OFFSET, -LANE_OFFSET])
+    inside_any = jnp.any(
+        (jnp.abs(d - offsets) <= CORRIDOR_HALF) & (scene.lane_valids > 0.5))
+    out_of_lane = ~inside_any
+    done_t = t + 1 >= scene.length - 2
+    return new_state, collide, out_of_lane, done_t
+
+
+# ---------------------------------------------------------------------------
+# episode runner
+# ---------------------------------------------------------------------------
+
+def run_closed_loop(key: Array, scenes: SceneTensors, cfg: Config, net: Net,
+                    params, formulas, coeffs, max_steps: int,
+                    measure_area: bool = False) -> Dict[str, Array]:
+    """Batched episodes as one jitted scan (replanning at every step).
+
+    scenes: stacked SceneTensors with leading batch dim bs.
+    Returns per-scene metrics: collide, out_of_lane, traj_len, progress,
+    stl_acc (mean over active steps), plus per-step diagnostics.
+    """
+    plan = make_planner(cfg, net, params, formulas, coeffs)
+    bs = scenes.ego_full.shape[0]
+
+    class Carry(NamedTuple):
+        ego: Array          # (bs, 4)
+        t: Array            # (bs,) int
+        done: Array         # (bs,) bool
+        collide: Array
+        out_of_lane: Array
+        progress: Array
+        stl_acc_sum: Array
+        steps: Array
+        key: Array
+
+    def body(c: Carry, _):
+        k, k_plan = jax.random.split(c.key)
+        obs = jax.vmap(lambda s, e, t: observe(s, e, t, cfg),
+                       in_axes=(0, 0, 0))(scenes, c.ego, c.t)
+        u0, info = plan(k_plan, obs)
+        new_ego, collide, ool, done_t = jax.vmap(
+            lambda s, e, t, u: env_step(s, e, t, u, cfg),
+            in_axes=(0, 0, 0, 0))(scenes, c.ego, c.t, u0)
+        active = ~c.done
+        ego = jnp.where(active[:, None], new_ego, c.ego)
+        prog = c.progress + active * c.ego[:, 3] * cfg.dt
+        coll = c.collide | (collide & active)
+        oolane = c.out_of_lane | (ool & active)
+        done = c.done | ((collide | ool | done_t) & active)
+        stl_sum = c.stl_acc_sum + active * info["stl_acc"]
+        steps = c.steps + active
+        t = jnp.where(active, c.t + 1, c.t)
+        return Carry(ego, t, done, coll, oolane, prog, stl_sum, steps, k), None
+
+    c0 = Carry(
+        ego=scenes.ego_full[:, 0],
+        t=jnp.zeros((bs,), jnp.int32),
+        done=jnp.zeros((bs,), bool),
+        collide=jnp.zeros((bs,), bool),
+        out_of_lane=jnp.zeros((bs,), bool),
+        progress=jnp.zeros((bs,)),
+        stl_acc_sum=jnp.zeros((bs,)),
+        steps=jnp.zeros((bs,)),
+        key=key,
+    )
+    c, _ = jax.lax.scan(body, c0, None, length=max_steps)
+    return _carry_metrics(c)
+
+
+def _carry_metrics(c):
+    steps = jnp.maximum(c.steps, 1.0)
+    return {
+        "collide": c.collide.astype(jnp.float32),
+        "out_of_lane": c.out_of_lane.astype(jnp.float32),
+        "traj_len": c.steps,
+        "progress": c.progress,
+        "stl_acc": c.stl_acc_sum / steps,
+        "agent_steps": jnp.sum(c.steps),
+    }
+
+
+def make_closed_loop_step(scenes: SceneTensors, cfg: Config, net: Net,
+                          params, formulas, coeffs):
+    """Host-driven variant: ONE jitted (observe -> plan -> env step ->
+    metrics update) program, called per replanning step from python.
+
+    Identical math to :func:`run_closed_loop`'s scan body, but compiled once
+    as a standalone program — the big scan graph compiles pathologically
+    slowly on some toolchains, while per-step host dispatch costs only the
+    launch latency (the whole step is still a single device program).
+    Returns (init_carry, step_fn) with step_fn: carry -> carry.
+    """
+    plan = make_planner(cfg, net, params, formulas, coeffs)
+    bs = scenes.ego_full.shape[0]
+
+    class Carry(NamedTuple):
+        ego: Array
+        t: Array
+        done: Array
+        collide: Array
+        out_of_lane: Array
+        progress: Array
+        stl_acc_sum: Array
+        steps: Array
+        key: Array
+
+    @jax.jit
+    def step(c: Carry) -> Carry:
+        k, k_plan = jax.random.split(c.key)
+        obs = jax.vmap(lambda s, e, t: observe(s, e, t, cfg),
+                       in_axes=(0, 0, 0))(scenes, c.ego, c.t)
+        u0, info = plan(k_plan, obs)
+        new_ego, collide, ool, done_t = jax.vmap(
+            lambda s, e, t, u: env_step(s, e, t, u, cfg),
+            in_axes=(0, 0, 0, 0))(scenes, c.ego, c.t, u0)
+        active = ~c.done
+        return Carry(
+            ego=jnp.where(active[:, None], new_ego, c.ego),
+            t=jnp.where(active, c.t + 1, c.t),
+            done=c.done | ((collide | ool | done_t) & active),
+            collide=c.collide | (collide & active),
+            out_of_lane=c.out_of_lane | (ool & active),
+            progress=c.progress + active * c.ego[:, 3] * cfg.dt,
+            stl_acc_sum=c.stl_acc_sum + active * info["stl_acc"],
+            steps=c.steps + active,
+            key=k)
+
+    def init_carry(key):
+        return Carry(
+            ego=scenes.ego_full[:, 0],
+            t=jnp.zeros((bs,), jnp.int32),
+            done=jnp.zeros((bs,), bool),
+            collide=jnp.zeros((bs,), bool),
+            out_of_lane=jnp.zeros((bs,), bool),
+            progress=jnp.zeros((bs,)),
+            stl_acc_sum=jnp.zeros((bs,)),
+            steps=jnp.zeros((bs,)),
+            key=key)
+
+    return init_carry, step
+
+
+def run_closed_loop_host(key: Array, scenes: SceneTensors, cfg: Config,
+                         net: Net, params, formulas, coeffs,
+                         max_steps: int) -> Dict[str, Array]:
+    """Host-driven episode runner (same metrics as run_closed_loop)."""
+    init_carry, step = make_closed_loop_step(scenes, cfg, net, params,
+                                             formulas, coeffs)
+    c = init_carry(key)
+    for _ in range(max_steps):
+        c = step(c)
+        if bool(c.done.all()):
+            break
+    return _carry_metrics(c)

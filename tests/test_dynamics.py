@@ -22,6 +22,18 @@ def np_rollout(s0, us, dt):
     return traj
 
 
+def test_parallel_rollout_matches_scan():
+    """The cumsum formulation must match the sequential scan exactly."""
+    rng = np.random.RandomState(3)
+    s0 = jnp.asarray(rng.randn(6, 4).astype(np.float32))
+    us = jnp.asarray((rng.randn(6, 20, 2)
+                      * np.array([0.4, 3.0])).astype(np.float32))
+    a = dyn.rollout(s0, us, 0.5)
+    b = dyn.rollout_scan(s0, us, 0.5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-4)
+
+
 def test_rollout_matches_oracle():
     rng = np.random.RandomState(0)
     s0 = rng.randn(5, 4).astype(np.float32)

@@ -1,0 +1,62 @@
+"""Native shard store: build, gather correctness, prefetch iterator."""
+
+import numpy as np
+import pytest
+
+from pstl_tpu.runtime import ShardStore, write_store
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("store"))
+    rng = np.random.RandomState(0)
+    data = {
+        "ego_traj": rng.randn(64, 20, 6).astype(np.float32),
+        "neighbors": rng.randn(64, 8, 7).astype(np.float32),
+        "labels": rng.randint(0, 4, (64, 1)).astype(np.int64),
+    }
+    write_store(path, data)
+    return ShardStore(path, n_threads=4), data
+
+
+def test_gather_matches_numpy(store):
+    ss, data = store
+    idx = np.asarray([5, 0, 63, 17, 17, 2])
+    out = ss.gather(idx)
+    for k in data:
+        np.testing.assert_array_equal(out[k], data[k][idx])
+
+
+def test_gather_dtype_and_shape(store):
+    ss, data = store
+    out = ss.gather(np.asarray([1, 2]), columns=["labels"])
+    assert out["labels"].dtype == np.int64
+    assert out["labels"].shape == (2, 1)
+
+
+def test_gather_bounds_check(store):
+    ss, _ = store
+    with pytest.raises(RuntimeError):
+        ss.gather(np.asarray([999]))
+
+
+def test_prefetch_iterator(store):
+    ss, data = store
+    idx = np.random.RandomState(1).permutation(64)
+    batches = list(ss.iter_batches(idx, batch_size=16))
+    assert len(batches) == 4
+    for bi, b in enumerate(batches):
+        sel = idx[bi * 16:(bi + 1) * 16]
+        for k in data:
+            np.testing.assert_array_equal(b[k], data[k][sel])
+
+
+def test_prefetch_reuse(store):
+    """Iterator can be restarted (worker thread survives)."""
+    ss, data = store
+    idx = np.arange(64)
+    for _ in range(2):
+        bs = list(ss.iter_batches(idx, batch_size=32))
+        assert len(bs) == 2
+        np.testing.assert_array_equal(bs[0]["ego_traj"],
+                                      data["ego_traj"][:32])

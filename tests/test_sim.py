@@ -1,0 +1,121 @@
+"""Closed-loop simulator: observation extraction, env step, full episodes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pstl_tpu import diffusion, sim, specs
+from pstl_tpu.config import Config
+from pstl_tpu.data import synthetic
+from pstl_tpu.models import Net
+
+
+def sim_cfg(**kw):
+    base = dict(diffusion=True, rect_head=True, multi_cands=2,
+                diverse_loss=True, n_randoms=4, n_neighbors=2,
+                diffusion_steps=6, compute_dtype="float32", flex=True)
+    base.update(kw)
+    return Config(**base).finalize().with_(epochs=1)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = sim_cfg()
+    data = synthetic.generate_dataset(0, 3, cfg, scene_len=12)
+    scenes = sim.scenes_from_dataset(data)
+    net = Net(cfg)
+    formulas = specs.build_formulas(cfg)
+    coeffs = diffusion.get_coeffs(cfg)
+    bs = 3
+    obs0 = jax.vmap(lambda s, e, t: sim.observe(s, e, t, cfg),
+                    in_axes=(0, 0, 0))(
+        scenes, scenes.ego_full[:, 0], jnp.zeros((bs,), jnp.int32))
+    n = bs * cfg.n_randoms * 3
+    gt_stlp = jnp.broadcast_to(jnp.asarray(sim.AGGRESSIVE_STLP), (bs, 6))
+    dense0 = specs.densify_batch(
+        obs0, gt_stlp, cfg, key=jax.random.PRNGKey(0),
+        stlp_dense=jnp.broadcast_to(jnp.asarray(sim.AGGRESSIVE_STLP),
+                                    (n, 1, 6)))
+    ext0 = {"timestep": jnp.ones((n, 1)),
+            "highlevel": dense0["highlevel_dense"],
+            "noise": jnp.zeros((n, cfg.nt * 2))}
+    params = net.init(jax.random.PRNGKey(1), dense0, ext0,
+                      method=Net.init_all)
+    return cfg, data, scenes, net, formulas, coeffs, params
+
+
+def test_observe_shapes(setup):
+    cfg, data, scenes, *_ = setup
+    one = jax.tree_util.tree_map(lambda x: x[0], scenes)
+    obs = sim.observe(one, one.ego_full[0], jnp.asarray(3), cfg)
+    assert obs["ego_traj"].shape == (cfg.nt, 6)
+    assert obs["neighbors_traj"].shape == (cfg.n_neighbors, cfg.nt, 7)
+    assert obs["currlane_wpts"].shape == (cfg.n_segs, 3)
+    # current lane window starts near the pose
+    d0 = np.linalg.norm(np.asarray(obs["currlane_wpts"][0, :2])
+                        - np.asarray(one.ego_full[0, :2]))
+    assert d0 < 5.0
+
+
+def test_lane_window_tracks_pose(setup):
+    cfg, data, scenes, *_ = setup
+    center = scenes.center_dense[0]
+    far_pose = center[50, :2]
+    win = sim.lane_window_device(center, far_pose, cfg.n_segs)
+    d = np.linalg.norm(np.asarray(win[0, :2] - far_pose))
+    assert d < 3.0
+
+
+def test_env_step_collision_detection(setup):
+    cfg, data, scenes, *_ = setup
+    one = jax.tree_util.tree_map(lambda x: x[0], scenes)
+    # teleport a neighbor onto the ego
+    nei = one.nei_full.at[0, :, 0].set(1.0)
+    nei = nei.at[0, :, 1:3].set(one.ego_full[1, 0:2])
+    nei = nei.at[0, :, 5:7].set(jnp.asarray([4.0, 2.0]))
+    crashed = one._replace(nei_full=nei)
+    _, collide, _, _ = sim.env_step(crashed, one.ego_full[0],
+                                    jnp.asarray(0), jnp.zeros(2), cfg)
+    assert bool(collide)
+    # and no collision in the clean scene
+    _, collide2, _, _ = sim.env_step(one, one.ego_full[0], jnp.asarray(0),
+                                     jnp.zeros(2), cfg)
+    assert not bool(collide2)
+
+
+def test_env_step_out_of_lane(setup):
+    cfg, data, scenes, *_ = setup
+    one = jax.tree_util.tree_map(lambda x: x[0], scenes)
+    off = one.ego_full[0].at[1].add(50.0)    # 50 m lateral
+    _, _, ool, _ = sim.env_step(one, off, jnp.asarray(0), jnp.zeros(2), cfg)
+    assert bool(ool)
+    _, _, ool2, _ = sim.env_step(one, one.ego_full[0], jnp.asarray(0),
+                                 jnp.zeros(2), cfg)
+    assert not bool(ool2)
+
+
+def test_gt_replay_stays_in_lane(setup):
+    """Replaying GT controls through env_step must not trigger
+    out-of-lane (consistency between generator and checker)."""
+    cfg, data, scenes, *_ = setup
+    one = jax.tree_util.tree_map(lambda x: x[0], scenes)
+    ego = one.ego_full[0]
+    for t in range(8):
+        # finite-difference GT controls
+        s_next = one.ego_full[t + 1]
+        u = jnp.asarray([(s_next[2] - ego[2]) / cfg.dt,
+                         (s_next[3] - ego[3]) / cfg.dt])
+        ego, collide, ool, _ = sim.env_step(one, ego, jnp.asarray(t), u, cfg)
+        assert not bool(ool), f"GT replay out of lane at t={t}"
+
+
+def test_closed_loop_episode_runs(setup):
+    cfg, data, scenes, net, formulas, coeffs, params = setup
+    out = jax.jit(lambda k: sim.run_closed_loop(
+        k, scenes, cfg, net, params, formulas, coeffs, max_steps=4))(
+        jax.random.PRNGKey(0))
+    assert out["collide"].shape == (3,)
+    assert float(out["agent_steps"]) > 0
+    assert np.all(np.asarray(out["traj_len"]) <= 4)
+    assert np.all(np.isfinite(np.asarray(out["progress"])))

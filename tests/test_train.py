@@ -1,0 +1,136 @@
+"""Training engine smoke tests: loss decreases, rect-only masking, sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pstl_tpu import diffusion, specs, train
+from pstl_tpu.config import Config
+from pstl_tpu.data.dataset import SceneDataset, batch_iterator
+from pstl_tpu.models import Net
+
+
+def tiny_cfg(**kw):
+    base = dict(diffusion=True, n_randoms=4, n_neighbors=2,
+                diffusion_steps=8, batch_size=4, n_synth_scenes=8,
+                compute_dtype="float32", flex=True, lr=1e-3)
+    base.update(kw)
+    return Config(**base).finalize().with_(epochs=1)
+
+
+def setup(cfg):
+    ds = SceneDataset.from_synthetic(cfg, n_scenes=8)
+    ds.ensure_random_params(0)
+    formulas = specs.build_formulas(cfg)
+    coeffs = diffusion.get_coeffs(cfg)
+    net = Net(cfg)
+    batch = next(batch_iterator(ds, "train", cfg.batch_size, shuffle=False))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if not k.startswith(("scene_", "traj_i", "ti"))}
+    state = train.init_state(cfg, net, batch, jax.random.PRNGKey(0))
+    opt = train.make_optimizer(cfg, state.params)
+    state = train.TrainState(state.params, opt.init(state.params), state.step)
+    return ds, formulas, coeffs, net, batch, state, opt
+
+
+def test_diffusion_loss_decreases():
+    # stl_bc_mask (forced on by finalize) masks eps-MSE to STL-satisfying
+    # augmented samples; without a trajopt pass none satisfy, so disable it
+    # for this smoke test
+    cfg = tiny_cfg().with_(stl_bc_mask=False)
+    ds, formulas, coeffs, net, batch, state, opt = setup(cfg)
+    step = train.make_train_step(cfg, net, formulas, coeffs, opt)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(30):
+        key, k = jax.random.split(key)
+        state, rd = step(state, batch, k)
+        losses.append(float(rd["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_vae_mode_trains():
+    cfg = tiny_cfg(vae=True, diffusion=False, bc_weight=1.0)
+    ds, formulas, coeffs, net, batch, state, opt = setup(cfg)
+    step = train.make_train_step(cfg, net, formulas, coeffs, opt)
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        key, k = jax.random.split(key)
+        state, rd = step(state, batch, k)
+    assert np.isfinite(float(rd["loss"]))
+    assert "loss_vae_kl" in rd
+
+
+def test_bc_mode_trains():
+    cfg = tiny_cfg(bc=True, diffusion=False, bc_weight=1.0)
+    ds, formulas, coeffs, net, batch, state, opt = setup(cfg)
+    step = train.make_train_step(cfg, net, formulas, coeffs, opt)
+    state, rd = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(rd["loss"]))
+
+
+def test_rect_only_updates():
+    """With rect_head and not joint, only rect_net/merge_net params move
+    (nusc_train.py:1229-1233)."""
+    cfg = tiny_cfg(rect_head=True, diverse_loss=True, multi_cands=2)
+    ds, formulas, coeffs, net, batch, state, opt = setup(cfg)
+    step = train.make_train_step(cfg, net, formulas, coeffs, opt)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    state2, rd = step(state, batch, jax.random.PRNGKey(3))
+    p1 = jax.tree_util.tree_map(np.asarray, state2.params)
+
+    moved, frozen = [], []
+    def walk(a, b, path=""):
+        if isinstance(a, dict):
+            for k in a:
+                walk(a[k], b[k], path + "/" + k)
+        else:
+            delta = np.abs(a - b).max()
+            (moved if delta > 0 else frozen).append((path, delta))
+
+    walk(p0["params"], p1["params"])
+    moved_names = " ".join(p for p, _ in moved)
+    assert all(("rect_net" in p or "merge_net" in p) for p, _ in moved), \
+        moved_names
+    assert any("rect_net" in p for p, _ in moved), "rect_net did not move"
+    frozen_names = " ".join(p for p, _ in frozen)
+    assert any("policy_net" in p for p, _ in frozen), frozen_names
+
+
+def test_train_step_sharded_over_mesh():
+    """Full train step over the virtual 8-device mesh."""
+    from pstl_tpu.parallel import make_mesh, shard_batch, replicate
+    cfg = tiny_cfg(batch_size=8)
+    ds = SceneDataset.from_synthetic(cfg, n_scenes=16)
+    ds.ensure_random_params(0)
+    formulas = specs.build_formulas(cfg)
+    coeffs = diffusion.get_coeffs(cfg)
+    net = Net(cfg)
+    batch = next(batch_iterator(ds, "train", 8, shuffle=False))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if not k.startswith(("scene_", "traj_i", "ti"))}
+    state = train.init_state(cfg, net, batch, jax.random.PRNGKey(0))
+    opt = train.make_optimizer(cfg, state.params)
+    state = train.TrainState(state.params, opt.init(state.params), state.step)
+    mesh = make_mesh((8,), ("data",))
+    state = jax.device_put(state, replicate(mesh))
+    batch = shard_batch(batch, mesh)
+    step = train.make_train_step(cfg, net, formulas, coeffs, opt)
+    state2, rd = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(rd["loss"]))
+    # sharded batch actually spanned 8 devices
+    any_arr = batch["ego_traj"]
+    assert len(any_arr.sharding.device_set) == 8
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_cfg()
+    ds, formulas, coeffs, net, batch, state, opt = setup(cfg)
+    train.save_checkpoint(str(tmp_path), state, 0)
+    state2 = train.load_checkpoint(str(tmp_path), state)
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(state2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
