@@ -128,6 +128,11 @@ def _sample_and_score(params, key, batch, cfg: Config, net: Net, formulas,
                 nn_controls = net.apply(params, feature, highlevel,
                                         dense["stlp_dense"][:, 0],
                                         nn_controls, s_re, method=Net.rect)
+            if cfg.refinement:
+                from pstl_tpu import refine
+                nn_controls = refine.convex_refinement(
+                    nn_controls, all_steps, states_flat, signal_base,
+                    highlevel, formulas, cfg)
     elif cfg.vae:
         ext = {"highlevel": highlevel}
         z = jax.random.normal(k_sample, (N, cfg.vae_dim))

@@ -44,13 +44,11 @@ def point_to_polyline(points: Array, lanes: Array, clip: bool = False,
     pd = jnp.linalg.norm(points[..., None, :2] - lanes[..., None, :, :2],
                          axis=-1)
     min_idx = jnp.argmin(pd[..., :-1] + pd[..., 1:], axis=-1)     # (n, T)
-    idx = min_idx[..., None]                                      # (n, T, 1)
-    lanes_b = jnp.broadcast_to(lanes[..., None, :, :],
-                               points.shape[:-1] + lanes.shape[-2:])
-    p2 = jnp.take_along_axis(lanes_b, idx[..., None].repeat(lanes.shape[-1], -1),
-                             axis=-2)[..., 0, :]                  # (n, T, 3)
-    p3 = jnp.take_along_axis(lanes_b, (idx + 1)[..., None].repeat(lanes.shape[-1], -1),
-                             axis=-2)[..., 0, :]
+    # segment-endpoint selection as a one-hot matmul: generic gathers lower
+    # to pathologically slow loops on TPU, while this is a tiny MXU contract
+    sel = jax.nn.one_hot(min_idx, n_segs - 1, dtype=points.dtype)  # (n,T,S)
+    p2 = jnp.einsum("...ts,...sd->...td", sel, lanes[..., :-1, :])
+    p3 = jnp.einsum("...ts,...sd->...td", sel, lanes[..., 1:, :])
 
     x1, y1 = points[..., 0], points[..., 1]
     x2, y2 = p2[..., 0], p2[..., 1]

@@ -184,6 +184,16 @@ def make_planner(cfg: Config, net: Net, params, formulas,
                 controls = net.apply(params, feature, highlevel,
                                      dense["stlp_dense"][:, 0], controls,
                                      s_re, method=Net.rect)
+            if cfg.refinement:
+                from pstl_tpu import refine
+                controls = refine.convex_refinement(
+                    controls, all_steps, states_flat, signal_base, highlevel,
+                    formulas, cfg, K=6)
+            elif cfg.raw_refinement:
+                from pstl_tpu import refine
+                controls = refine.raw_refinement(
+                    controls, states_flat, signal_base, highlevel, formulas,
+                    cfg)
         else:
             controls = nn_controls
 

@@ -107,6 +107,11 @@ def batch_forward_and_loss(params, key: Array, batch: Dict[str, Array],
     n = bs * cfg.n_randoms * 3
 
     gt_stlp = specs.calibrate_stlp(batch, gt_trajs, cfg)
+
+    if cfg.gt_data_training:
+        return _mono_forward_and_loss(params, key, batch, cfg, net, formulas,
+                                      coeffs, gt_stlp, states, gt_trajs)
+
     dense = specs.densify_batch(batch, gt_stlp, cfg, key=k_dense)
     states_flat = jnp.broadcast_to(
         states[:, None, None], (bs, cfg.n_randoms, 3, 4)).reshape(n, 4)
@@ -219,6 +224,96 @@ def batch_forward_and_loss(params, key: Array, batch: Dict[str, Array],
     rd["acc"] = acc
     rd["tj_acc"] = specs.mask_mean((dense_scores > 0).astype(jnp.float32),
                                    valid)
+    return rd["loss"], rd
+
+
+def _mono_forward_and_loss(params, key, batch, cfg, net, formulas, coeffs,
+                           gt_stlp, states, gt_trajs):
+    """GT-data ("mono") training branch (nusc_train.py:1435-1492): train the
+    generative model on finite-difference GT controls only, n_randoms
+    samples per scene, STL evaluated under the calibrated spec."""
+    bs = states.shape[0]
+    M = cfg.n_randoms
+    n = bs * M
+    k_prep, k_sample, k_vae = jax.random.split(key, 3)
+    rd: Dict[str, Array] = {}
+
+    # finite-difference GT controls (nusc_train.py:1438-1439)
+    gt_controls = (batch["ego_traj"][:, 1:, 2:4]
+                   - batch["ego_traj"][:, :-1, 2:4]) / cfg.dt
+    gt_controls = jnp.concatenate([gt_controls, gt_controls[:, -1:]], axis=1)
+
+    states_mul = jnp.broadcast_to(states[:, None], (bs, M, 4)).reshape(n, 4)
+    hl = batch["gt_high_level"]
+
+    def mono_signals(trajs):
+        def mul(x):
+            return jnp.repeat(x, M, axis=0)
+        return {
+            "ego_traj": trajs[:, :-1],
+            "neighbors": mul(batch["neighbor_trajs_aug"]),
+            "currlane_wpts": mul(batch["currlane_wpts"]),
+            "leftlane_wpts": mul(batch["leftlane_wpts"]),
+            "rightlane_wpts": mul(batch["rightlane_wpts"]),
+            "stlp": mul(gt_stlp)[:, None, :],
+        }
+
+    if cfg.diffusion:
+        noise, steps, noised = diffusion.prep(k_prep, gt_controls, cfg,
+                                              coeffs, mono=True)
+        ext = {"timestep": steps.astype(jnp.float32), "highlevel": hl,
+               "noise": noised, "gt_stlp": gt_stlp}
+        eps_hat, feature = net.apply(params, batch, ext, get_feature=True)
+        eps_hat = eps_hat.reshape(n, cfg.nt * 2)
+        rd["loss_diffusion"] = jnp.mean(jnp.square(noise - eps_hat))
+
+        hl_mul = jnp.repeat(hl, M, axis=0)
+        gt_stlp_mul = jnp.repeat(gt_stlp, M, axis=0)
+
+        def apply_fn(e):
+            return net.apply(params, batch, e, prev_feature=None,
+                             n_randoms=M)
+
+        controls, _ = diffusion.reverse_sample(
+            k_sample, apply_fn, batch, hl, None, cfg, coeffs, n, mono=True,
+            tmp_stlp=gt_stlp)
+        controls = jax.lax.stop_gradient(controls)
+        trajs = dyn.rollout(states_mul, controls, cfg.dt)
+        sig = mono_signals(trajs)
+        _, scores, acc = specs.compute_scores(sig, formulas, hl_mul,
+                                              jnp.ones((n,)), cfg)
+        rd["loss_stl"] = losses.stl_hinge(scores, jnp.ones((n,)),
+                                          cfg.stl_nn_thres,
+                                          cfg.stl_weight)
+        # sampling happens under stop_gradient (reference: grad_rollout off,
+        # nusc_train.py:562), so the mono diffusion training signal is the
+        # eps-MSE alone; loss_stl is reported as a metric
+        rd["loss"] = rd["loss_diffusion"]
+    elif cfg.vae:
+        noise = jax.random.normal(k_vae, (n, cfg.vae_dim))
+        ext = {"gt_stlp": gt_stlp, "highlevel": hl,
+               "gt_controls": gt_controls, "noise": noise}
+        controls_mul, latent_stats = net.apply(params, batch, ext)
+        trajs = dyn.rollout(states_mul, controls_mul, cfg.dt)
+        hl_mul = jnp.repeat(hl, M, axis=0)
+        sig = mono_signals(trajs)
+        _, scores, acc = specs.compute_scores(sig, formulas, hl_mul,
+                                              jnp.ones((n,)), cfg)
+        # minimum-over-n recon (nusc_train.py:1459-1477)
+        l2 = jnp.mean(jnp.mean(jnp.square(
+            controls_mul.reshape(bs, M, cfg.nt, 2)
+            - gt_controls[:, None]), axis=-1), axis=-1)
+        rd["loss_vae_bc"] = jnp.mean(jnp.min(l2, axis=1)) * cfg.bc_weight
+        mean, logstd, std = latent_stats
+        rd["loss_vae_kl"] = (-0.5 * jnp.mean(1 + 2 * logstd - mean * mean
+                                             - std * std)) * cfg.weight_vae_kl
+        rd["loss_stl"] = losses.stl_hinge(scores, jnp.ones((n,)),
+                                          cfg.stl_nn_thres, cfg.stl_weight)
+        rd["loss"] = (rd["loss_vae_bc"] + rd["loss_vae_kl"] + rd["loss_stl"])
+    else:
+        raise NotImplementedError("mono mode needs diffusion or vae")
+    rd["acc"] = acc
+    rd["tj_acc"] = acc * 0.0
     return rd["loss"], rd
 
 
