@@ -50,7 +50,7 @@ def main():
     scenes = sim.scenes_from_dataset(data)
 
     net = Net(cfg)
-    formulas = specs.build_formulas(cfg)
+    formulas = specs.build_scorer(cfg)
     coeffs = diffusion.get_coeffs(cfg)
 
     # init params — everything jitted: eager dispatch through the TPU

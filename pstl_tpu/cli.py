@@ -83,7 +83,7 @@ def cmd_trajopt(args):
     cfg = build_config(args).with_(flex=True)
     from pstl_tpu import specs, trajopt
     ds = load_dataset(cfg, args)
-    formulas = specs.build_formulas(cfg)
+    formulas = specs.build_scorer(cfg)
     trajopt.augment_dataset(ds, cfg, formulas,
                             batch_size=min(cfg.batch_size, len(ds)),
                             iters=args.iters)
@@ -144,14 +144,69 @@ def cmd_sim(args):
     state = train.init_state(cfg, net, sample, jax.random.PRNGKey(cfg.seed))
     if args.ckpt:
         state = train.load_params_only(args.ckpt, state)
-    formulas = specs.build_formulas(cfg)
+    formulas = specs.build_scorer(cfg)
     coeffs = diffusion.get_coeffs(cfg)
-    out = jax.jit(lambda k: sim.run_closed_loop(
-        k, scenes, cfg, net, state.params, formulas, coeffs,
-        max_steps=args.steps))(jax.random.PRNGKey(0))
+    render_dir = None
+    if args.render:
+        from pstl_tpu.utils.exp import setup_exp_dir
+        render_dir = setup_exp_dir(cfg, tee=False) + "/viz"
+    out = sim.run_closed_loop_host(
+        jax.random.PRNGKey(0), scenes, cfg, net, state.params, formulas,
+        coeffs, max_steps=args.steps, record=bool(render_dir) or args.record,
+        render_dir=render_dir)
     res = {k: (float(v.mean()) if hasattr(v, "mean") else float(v))
-           for k, v in out.items()}
+           for k, v in out.items() if k != "history"}
     print(json.dumps({k: round(v, 4) for k, v in res.items()}, indent=2))
+    if render_dir:
+        print(f"frames + GIFs -> {render_dir}")
+
+
+def cmd_check(args):
+    """Calibration self-consistency (--check_stl_params,
+    nusc_train.py:816-875): GT trajectories scored under their own
+    calibrated spec."""
+    cfg = build_config(args)
+    import jax
+    import jax.numpy as jnp
+    from pstl_tpu import specs
+    from pstl_tpu.data.dataset import batch_iterator
+    ds = load_dataset(cfg, args)
+    formulas = specs.build_scorer(cfg)
+
+    @jax.jit
+    def check(batch):
+        batch = dict(batch)
+        batch["neighbor_trajs_aug"] = batch["neighbors_traj"]
+        gt = batch["ego_traj"][..., :4]
+        stlp = specs.calibrate_stlp(batch, gt, cfg)
+        signals = {
+            "ego_traj": gt,
+            "neighbors": batch["neighbor_trajs_aug"],
+            "currlane_wpts": batch["currlane_wpts"],
+            "leftlane_wpts": batch["leftlane_wpts"],
+            "rightlane_wpts": batch["rightlane_wpts"],
+            "stlp": stlp[:, None, :],
+        }
+        hl = batch["gt_high_level"][:, 0]
+        mask = (hl != 3).astype(jnp.float32)
+        _, scores, acc = specs.compute_scores(signals, formulas, hl, mask,
+                                              cfg)
+        return acc, stlp
+
+    accs = []
+    for bi, batch in enumerate(batch_iterator(ds, "train", cfg.batch_size,
+                                              shuffle=False,
+                                              drop_last=False)):
+        import numpy as np
+        batch = {k: v for k, v in batch.items()
+                 if not k.startswith(("scene_", "traj_i", "ti"))}
+        acc, stlp = check(batch)
+        accs.append(float(acc))
+        print(f"{bi:03d} ACC:{float(acc):.3f} "
+              f"vmin:{float(stlp[:,0].min()):.2f} "
+              f"vmax:{float(stlp[:,1].max()):.2f}")
+    import numpy as np
+    print(f"ACC:{np.mean(accs):.3f}")
 
 
 def cmd_presets(args):
@@ -195,7 +250,15 @@ def main(argv=None):
     si.add_argument("--scenes", type=int, default=8)
     si.add_argument("--scene-len", type=int, default=38)
     si.add_argument("--steps", type=int, default=36)
+    si.add_argument("--record", action="store_true",
+                    help="record histories + per-step area metric")
+    si.add_argument("--render", action="store_true",
+                    help="write per-step frames and episode GIFs")
     si.set_defaults(fn=cmd_sim)
+
+    ck = sub.add_parser("check", help="GT-vs-calibrated-spec consistency")
+    add_common(ck)
+    ck.set_defaults(fn=cmd_check)
 
     pr = sub.add_parser("presets", help="list named presets")
     pr.set_defaults(fn=cmd_presets)

@@ -154,6 +154,7 @@ class Config:
     mesh_axis_names: Tuple[str, ...] = ("data",)
     compute_dtype: str = "bfloat16"           # network matmul dtype
     robustness_dtype: str = "float32"         # STL robustness dtype
+    use_pallas_clearance: bool = False        # fused min-clearance kernel
     time_profile: bool = False
 
     # ------------------------------------------------------------------

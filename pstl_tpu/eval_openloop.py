@@ -166,7 +166,7 @@ def run(cfg: Config, ds: SceneDataset, params, net: Optional[Net] = None,
     """Open-loop evaluation over the val split; returns averaged metrics."""
     if net is None:
         net = Net(cfg)
-    formulas = specs.build_formulas(cfg)
+    formulas = specs.build_scorer(cfg)
     coeffs = diffusion.get_coeffs(cfg)
     ds.ensure_random_params(cfg.seed)
     md = MeterDict()

@@ -1,0 +1,213 @@
+"""Pallas TPU kernels for the hot guidance-loop ops.
+
+``min_clearance``: fused anchor-disc minimum clearance between the ego box
+and K neighbor boxes per timestep — the dominant geometry op inside the STL
+guidance gradient (evaluated 99 x guidance_niters times per plan step).  The
+XLA path (``geometry.min_neighbor_distance``) materializes the
+(n, K, T, nL, nL) pairwise tensors in HBM for the forward AND the transpose;
+this kernel keeps everything in VMEM per block and exposes a hand-written
+VJP (recompute-in-backward, no residuals), so one guidance evaluation does a
+single HBM read of the inputs.
+
+Semantics match ``nusc_train.py:142-148`` / ``utils.py:465-526`` with
+nW = 1 (the reference default): per-neighbor clearance = min over disc pairs
+of (center distance − r_ego − r_nei), clipped to [−5, 20], invalid neighbors
+replaced by 100, min over K.  With nW = 1 the disc radius reduces to W/2
+exactly (r = min(max(L/(2 nL), W/2), W/2) = W/2).
+
+Falls back to the jnp implementation when Pallas is unavailable or nW != 1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pstl_tpu.ops import geometry as geom
+
+Array = jax.Array
+
+try:
+    from jax.experimental import pallas as pl
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+
+def _disc_geometry(ego_xyth, nei, ego_L, ego_W, nL):
+    """Shared forward math on one block (pure jnp, runs inside the kernel).
+
+    ego_xyth: (B, T, 3); nei: (B, K, T, 7).
+    Returns (masked (B, K, T), diff terms needed by bwd).
+    """
+    x, y, th = ego_xyth[..., 0], ego_xyth[..., 1], ego_xyth[..., 2]
+    re = ego_W / 2.0
+    alpha = jnp.linspace(0.0, 1.0, nL)
+    ax = (-ego_L / 2 + re) * (1 - alpha) + (ego_L / 2 - re) * alpha  # (nL,)
+    cth, sth = jnp.cos(th), jnp.sin(th)
+    ex = x[..., None] + ax * cth[..., None]          # (B, T, nL)
+    ey = y[..., None] + ax * sth[..., None]
+
+    valid = nei[..., 0]                               # (B, K, T)
+    nx0, ny0, nth = nei[..., 1], nei[..., 2], nei[..., 3]
+    Ln, Wn = nei[..., 5], nei[..., 6]
+    rn = Wn / 2.0
+    half0 = -Ln / 2 + rn
+    half1 = Ln / 2 - rn
+    axn = half0[..., None] * (1 - alpha) + half1[..., None] * alpha
+    ncth, nsth = jnp.cos(nth), jnp.sin(nth)
+    nx = nx0[..., None] + axn * ncth[..., None]       # (B, K, T, nL)
+    ny = ny0[..., None] + axn * nsth[..., None]
+
+    # pairwise (B, K, T, nL_ego, nL_nei)
+    dx = ex[:, None, :, :, None] - nx[:, :, :, None, :]
+    dy = ey[:, None, :, :, None] - ny[:, :, :, None, :]
+    dist = jnp.sqrt(dx * dx + dy * dy + 1e-12)
+    clr = dist - re - rn[..., None, None]
+    per_nei = jnp.min(clr, axis=(-2, -1))             # (B, K, T)
+    clipped = jnp.clip(per_nei, -5.0, 20.0)
+    masked = clipped * valid + (1 - valid) * 100.0
+    return masked, (ex, ey, nx, ny, dist, clr, per_nei, valid, ax, cth, sth)
+
+
+def _fwd_block(ego_xyth, nei, ego_L, ego_W, nL):
+    masked, _ = _disc_geometry(ego_xyth, nei, ego_L, ego_W, nL)
+    return jnp.min(masked, axis=-2)                   # min over K -> (B, T)
+
+
+def _bwd_block(ego_xyth, nei, g, ego_L, ego_W, nL):
+    """Cotangent routing (recompute): g (B, T) -> d ego_xyth (B, T, 3)."""
+    masked, (ex, ey, nx, ny, dist, clr, per_nei, valid, ax, cth, sth) = \
+        _disc_geometry(ego_xyth, nei, ego_L, ego_W, nL)
+    out = jnp.min(masked, axis=-2, keepdims=True)     # (B, 1, T)
+    # tie-splitting min VJP over K (matches jnp.min)
+    eqK = (masked == out).astype(g.dtype)
+    wK = eqK / jnp.maximum(jnp.sum(eqK, axis=-2, keepdims=True), 1.0)
+    gate = ((per_nei > -5.0) & (per_nei < 20.0)).astype(g.dtype) * valid
+    gK = g[:, None, :] * wK * gate                    # (B, K, T)
+    # min VJP over disc pairs
+    mn = jnp.min(clr, axis=(-2, -1), keepdims=True)
+    eqP = (clr == mn).astype(g.dtype)
+    wP = eqP / jnp.maximum(jnp.sum(eqP, axis=(-2, -1), keepdims=True), 1.0)
+    gP = gK[..., None, None] * wP                     # (B, K, T, nL, nL)
+    dx = ex[:, None, :, :, None] - nx[:, :, :, None, :]
+    dy = ey[:, None, :, :, None] - ny[:, :, :, None, :]
+    gdx = gP * dx / dist
+    gdy = gP * dy / dist
+    g_ex = jnp.sum(gdx, axis=(1, 4))                  # (B, T, nL_ego)
+    g_ey = jnp.sum(gdy, axis=(1, 4))
+    gx = jnp.sum(g_ex, axis=-1)
+    gy = jnp.sum(g_ey, axis=-1)
+    gth = jnp.sum(g_ex * (-(ax) * sth[..., None])
+                  + g_ey * (ax * cth[..., None]), axis=-1)
+    return jnp.stack([gx, gy, gth], axis=-1)
+
+
+def _make_pallas_call(fn, out_shape, block_n, n, interpret):
+    """Grid over the leading (candidate) axis in blocks of block_n."""
+    grid = (n // block_n,)
+    return functools.partial(pl.pallas_call, fn, grid=grid,
+                             out_shape=out_shape, interpret=interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def min_clearance(ego_xyth: Array, nei: Array, ego_L: float, ego_W: float,
+                  num_L: int = 4, block_n: int = 256,
+                  interpret: bool = False) -> Array:
+    """Fused masked min neighbor clearance.
+
+    ego_xyth: (n, T, 3); nei: (n, K, T, 7).  Returns (n, T).
+    Neighbors are constants of the guidance problem — no VJP w.r.t. them.
+    """
+    return _min_clearance_fwd(ego_xyth, nei, ego_L, ego_W, num_L, block_n,
+                              interpret)[0]
+
+
+def _pad_to_block(x, block_n):
+    n = x.shape[0]
+    pad = (-n) % block_n
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    return x, n
+
+
+def _min_clearance_fwd(ego_xyth, nei, ego_L, ego_W, num_L, block_n,
+                       interpret):
+    ego_p, n = _pad_to_block(ego_xyth.astype(jnp.float32), block_n)
+    nei_p, _ = _pad_to_block(nei.astype(jnp.float32), block_n)
+    T = ego_p.shape[1]
+    K = nei_p.shape[1]
+
+    def kernel(ego_ref, nei_ref, out_ref):
+        out_ref[...] = _fwd_block(ego_ref[...], nei_ref[...], ego_L, ego_W,
+                                  num_L)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(ego_p.shape[0] // block_n,),
+        in_specs=[
+            pl.BlockSpec((block_n, T, 3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_n, K, T, 7), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_n, T), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((ego_p.shape[0], T), jnp.float32),
+        interpret=interpret,
+    )
+    out = call(ego_p, nei_p)[:n]
+    return out, (ego_xyth, nei)
+
+
+def _min_clearance_bwd(ego_L, ego_W, num_L, block_n, interpret, res, g):
+    ego_xyth, nei = res
+    ego_p, n = _pad_to_block(ego_xyth.astype(jnp.float32), block_n)
+    nei_p, _ = _pad_to_block(nei.astype(jnp.float32), block_n)
+    g_p, _ = _pad_to_block(g.astype(jnp.float32), block_n)
+    T = ego_p.shape[1]
+    K = nei_p.shape[1]
+
+    def kernel(ego_ref, nei_ref, g_ref, out_ref):
+        out_ref[...] = _bwd_block(ego_ref[...], nei_ref[...], g_ref[...],
+                                  ego_L, ego_W, num_L)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(ego_p.shape[0] // block_n,),
+        in_specs=[
+            pl.BlockSpec((block_n, T, 3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_n, K, T, 7), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((block_n, T), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_n, T, 3), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((ego_p.shape[0], T, 3), jnp.float32),
+        interpret=interpret,
+    )
+    d_ego = call(ego_p, nei_p, g_p)[:n].astype(ego_xyth.dtype)
+    return d_ego, None
+
+
+min_clearance.defvjp(_min_clearance_fwd, _min_clearance_bwd)
+
+
+def min_neighbor_distance_fused(ego_traj: Array, nei_traj: Array,
+                                nei_valid: Array, ego_L: float, ego_W: float,
+                                num_L: int = 4, num_W: int = 1,
+                                block_n: int = 256,
+                                interpret: bool = False) -> Array:
+    """Drop-in for ``geometry.min_neighbor_distance`` (non-full variant).
+
+    ego_traj: (n, T, >=3); nei_traj: (n, K, T, >=6) rows (x,y,th,...,L,W);
+    nei_valid: (n, K, T).
+    """
+    if not HAVE_PALLAS or num_W != 1:
+        return geom.min_neighbor_distance(ego_traj, nei_traj, nei_valid,
+                                          ego_L, ego_W, num_L, num_W)
+    nei7 = jnp.concatenate(
+        [nei_valid[..., None], nei_traj[..., 0:3],
+         jnp.zeros_like(nei_traj[..., 0:1]),
+         nei_traj[..., -2:-1], nei_traj[..., -1:]], axis=-1)
+    return min_clearance(ego_traj[..., :3], jax.lax.stop_gradient(nei7),
+                         ego_L, ego_W, num_L, block_n, interpret)

@@ -105,6 +105,14 @@ def window_soft_max(s: Array, ts: int, te: int, tau: float,
                     hard: bool = False) -> Array:
     """For each t: soft max of s over window [t+ts, t+te) (clipped). s: (..., T)."""
     T = s.shape[-1]
+    if ts == 0 and te >= T:
+        # suffix window [t, T): reverse cumulative reduction — O(T) instead
+        # of the (T, T) masked reduce (the Always(0, nt) clauses all hit this)
+        if hard:
+            return cumulative(jnp.maximum, s.astype(jnp.float32), axis=-1,
+                              reverse=True)
+        return logcumsumexp(s.astype(jnp.float32) * tau, axis=-1,
+                            reverse=True) / tau
     mask = _window_mask(T, ts, te)            # (T, T)
     return _masked_soft_max(s[..., None, :], mask, tau, hard)   # (..., T)
 

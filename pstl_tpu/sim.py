@@ -220,6 +220,43 @@ def make_planner(cfg: Config, net: Net, params, formulas,
     return plan
 
 
+def _apply_backup(u0: Array, info: Dict[str, Array], obs: Dict[str, Array],
+                  cfg: Config) -> Array:
+    """Batched backup safety controller (nusc_sim.py:686-708): when the
+    chosen plan's 2-step-ahead clearance to any predicted neighbor drops
+    below D_SAFE, solve a short control-residual optimization to restore it
+    and apply the corrected first control."""
+    from pstl_tpu import refine
+    plan_traj = info["plan_traj"]                    # (bs, nt+1, 4)
+    nei = obs["neighbor_trajs_aug"]                  # (bs, K, nt, 7)
+    # chosen plan controls: recover first two from the plan states
+    dth = (plan_traj[:, 1:3, 2] - plan_traj[:, 0:2, 2]) / cfg.dt
+    dv = (plan_traj[:, 1:3, 3] - plan_traj[:, 0:2, 3]) / cfg.dt
+    u01 = jnp.stack([dth, dv], axis=-1)              # (bs, 2, 2)
+
+    clear = geom.car_clearance(
+        plan_traj[:, None, 2, :3], cfg.ego_L, cfg.ego_W,
+        nei[:, :, 2, 1:4], nei[:, :, 2, 5], nei[:, :, 2, 6],
+        cfg.refined_nL, cfg.refined_nW)              # (bs, K)
+    masked = (jnp.clip(clear, -5, 20) * nei[:, :, 2, 0]
+              + (1 - nei[:, :, 2, 0]) * 100.0)
+    unsafe = jnp.min(masked, axis=-1) < D_SAFE       # (bs,)
+
+    # nearest predicted neighbor per scene drives the residual
+    d0 = jnp.where(nei[:, :, 2, 0] > 0.5,
+                   jnp.linalg.norm(nei[:, :, 2, 1:3]
+                                   - plan_traj[:, None, 2, :2], axis=-1),
+                   1e9)
+    j = jnp.argmin(d0, axis=-1)
+    nei_sel = jnp.take_along_axis(
+        nei, j[:, None, None, None], axis=1)[:, 0]   # (bs, nt, 7)
+    u_res = jax.vmap(lambda pt, uu, nn: refine.solve_backup(
+        pt[None, 0:3], uu[None], nn[None, 0:3], cfg, n_iters=100))(
+        plan_traj, u01, nei_sel)                     # (bs, 2, 2)
+    u_corr = u01[:, 0] + u_res[:, 0]
+    return jnp.where(unsafe[:, None], u_corr, u0)
+
+
 # ---------------------------------------------------------------------------
 # environment step (batched)
 # ---------------------------------------------------------------------------
@@ -322,7 +359,7 @@ def _carry_metrics(c):
 
 
 def make_closed_loop_step(scenes: SceneTensors, cfg: Config, net: Net,
-                          params, formulas, coeffs):
+                          params, formulas, coeffs, with_info: bool = False):
     """Host-driven variant: ONE jitted (observe -> plan -> env step ->
     metrics update) program, called per replanning step from python.
 
@@ -347,16 +384,18 @@ def make_closed_loop_step(scenes: SceneTensors, cfg: Config, net: Net,
         key: Array
 
     @jax.jit
-    def step(c: Carry) -> Carry:
+    def step(c: Carry):
         k, k_plan = jax.random.split(c.key)
         obs = jax.vmap(lambda s, e, t: observe(s, e, t, cfg),
                        in_axes=(0, 0, 0))(scenes, c.ego, c.t)
         u0, info = plan(k_plan, obs)
+        if cfg.backup:
+            u0 = _apply_backup(u0, info, obs, cfg)
         new_ego, collide, ool, done_t = jax.vmap(
             lambda s, e, t, u: env_step(s, e, t, u, cfg),
             in_axes=(0, 0, 0, 0))(scenes, c.ego, c.t, u0)
         active = ~c.done
-        return Carry(
+        carry = Carry(
             ego=jnp.where(active[:, None], new_ego, c.ego),
             t=jnp.where(active, c.t + 1, c.t),
             done=c.done | ((collide | ool | done_t) & active),
@@ -366,6 +405,9 @@ def make_closed_loop_step(scenes: SceneTensors, cfg: Config, net: Net,
             stl_acc_sum=c.stl_acc_sum + active * info["stl_acc"],
             steps=c.steps + active,
             key=k)
+        if with_info:
+            return carry, info
+        return carry
 
     def init_carry(key):
         return Carry(
@@ -384,13 +426,62 @@ def make_closed_loop_step(scenes: SceneTensors, cfg: Config, net: Net,
 
 def run_closed_loop_host(key: Array, scenes: SceneTensors, cfg: Config,
                          net: Net, params, formulas, coeffs,
-                         max_steps: int) -> Dict[str, Array]:
-    """Host-driven episode runner (same metrics as run_closed_loop)."""
+                         max_steps: int, record: bool = False,
+                         render_dir: Optional[str] = None
+                         ) -> Dict[str, Array]:
+    """Host-driven episode runner (same metrics as run_closed_loop).
+
+    record=True additionally returns per-step ego history, plan trajectories
+    and the per-step candidate-area diversity metric (Table-II "area",
+    nusc_sim.py:714-735); render_dir writes closed-loop frames + GIFs.
+    """
+    import numpy as np
+    from pstl_tpu import metrics as met
+
     init_carry, step = make_closed_loop_step(scenes, cfg, net, params,
-                                             formulas, coeffs)
+                                             formulas, coeffs,
+                                             with_info=record)
     c = init_carry(key)
-    for _ in range(max_steps):
-        c = step(c)
+    bs = scenes.ego_full.shape[0]
+    hist = {"ego": [np.asarray(c.ego)], "plan": [], "area": []}
+    for si in range(max_steps):
+        if record:
+            c, info = step(c)
+            hist["ego"].append(np.asarray(c.ego))
+            hist["plan"].append(np.asarray(info["plan_traj"]))
+            M = cfg.n_randoms
+            area = met.measure_extra_diversity(
+                info["trajs"][:, :-1].reshape(bs, M, 3, cfg.nt * 4),
+                info["scores"].reshape(bs, M, 3),
+                info["valids_dense"].reshape(bs, M, 3), cfg.nt,
+                info["controls"].reshape(bs, M, 3, cfg.nt * 2),
+                -cfg.mul_w_max, cfg.mul_w_max, -cfg.mul_a_max,
+                cfg.mul_a_max)["area"]
+            hist["area"].append(float(area))
+        else:
+            c = step(c)
         if bool(c.done.all()):
             break
-    return _carry_metrics(c)
+    out = _carry_metrics(c)
+    if record:
+        out["history"] = hist
+        out["area"] = (jnp.asarray(np.mean(hist["area"]))
+                       if hist["area"] else jnp.asarray(0.0))
+    if render_dir and record:
+        from pstl_tpu import viz
+        ego_hist = np.stack(hist["ego"], axis=1)         # (bs, S+1, 4)
+        for i in range(min(bs, 4)):
+            frames = []
+            for t in range(1, ego_hist.shape[1]):
+                path = f"{render_dir}/frame_s{i:02d}_t{t:03d}.png"
+                viz.render_closed_loop_frame(
+                    path, np.asarray(scenes.center_dense[i]),
+                    np.asarray(scenes.lane_valids[i]), ego_hist[i, :t + 1],
+                    np.asarray(scenes.nei_full[i, :, min(
+                        t, scenes.nei_full.shape[2] - 1)]),
+                    hist["plan"][t - 1][i] if t - 1 < len(hist["plan"])
+                    else None,
+                    ego_LW=(cfg.ego_L, cfg.ego_W))
+                frames.append(path)
+            viz.generate_gif(f"{render_dir}/episode_{i:02d}.gif", frames)
+    return out

@@ -75,14 +75,21 @@ def prep_signals(x: Dict[str, Array], cfg: Config,
         out[f"x2{key}_th"] = th
 
     nei = x["neighbors"]
-    res = geom.min_neighbor_distance(
-        x["ego_traj"][..., 0:4], nei[..., 1:7], nei[..., I_VAL],
-        ego_L=cfg.ego_L, ego_W=cfg.ego_W, num_L=cfg.refined_nL,
-        num_W=cfg.refined_nW, full=with_collision or cfg.collision_loss is not None)
-    if with_collision or cfg.collision_loss is not None:
-        out["min_nei_d"], out["min_centroid_d"], out["radius_sum"] = res
+    need_full = with_collision or cfg.collision_loss is not None
+    if cfg.use_pallas_clearance and not need_full and cfg.refined_nW == 1:
+        from pstl_tpu.ops import pallas_kernels as pk
+        out["min_nei_d"] = pk.min_neighbor_distance_fused(
+            x["ego_traj"][..., 0:4], nei[..., 1:7], nei[..., I_VAL],
+            ego_L=cfg.ego_L, ego_W=cfg.ego_W, num_L=cfg.refined_nL)
     else:
-        out["min_nei_d"] = res
+        res = geom.min_neighbor_distance(
+            x["ego_traj"][..., 0:4], nei[..., 1:7], nei[..., I_VAL],
+            ego_L=cfg.ego_L, ego_W=cfg.ego_W, num_L=cfg.refined_nL,
+            num_W=cfg.refined_nW, full=need_full)
+        if need_full:
+            out["min_nei_d"], out["min_centroid_d"], out["radius_sum"] = res
+        else:
+            out["min_nei_d"] = res
 
     if cfg.norm_stl:
         stlp = x["stlp"]
@@ -162,6 +169,84 @@ def build_formulas(cfg: Config) -> List[stl.ListAnd]:
     return [stl_curr, stl_left, stl_right]
 
 
+class ClauseBank:
+    """Fused evaluator of the three maneuver formulas' robustness at t = 0.
+
+    Numerically identical to evaluating ``build_formulas`` and taking
+    ``trace[:, 0]`` (verified in tests), but each of the 10 unique clauses is
+    computed once (the formulas share vmin/vmax/safe), and all Always(0, nt)
+    clauses collapse to a single soft-min over the horizon / one reverse
+    ``logcumsumexp`` — O(T) work per clause instead of the O(T^2) masked
+    window reduce, and no duplicate evaluation across formulas.  This is the
+    hot path of the guidance inner loop.
+    """
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+
+    def _alw0(self, g: Array, tau: float, hard: bool) -> Array:
+        """Always(0, nt) robustness at t=0 = soft-min over the horizon."""
+        return stl.soft_min(g, tau, axis=-1, hard=hard)
+
+    def _ev_alw0(self, g: Array, tau: float, hard: bool) -> Array:
+        """Eventually(0, nt//2, Always(0, nt, g)) at t=0: suffix soft-mins
+        via reverse cumulative scan, soft-max over the first nt//2."""
+        nt2 = self.cfg.nt // 2
+        g = g.astype(jnp.float32)
+        if hard:
+            suffix = stl.cumulative(jnp.minimum, g, axis=-1, reverse=True)
+            return jnp.max(suffix[..., :nt2], axis=-1)
+        suffix = -stl.logcumsumexp(-g * tau, axis=-1, reverse=True) / tau
+        return stl.soft_max(suffix[..., :nt2], tau, axis=-1)
+
+    def scores(self, x: Dict[str, Array], tau: float,
+               hard: bool = False) -> List[Array]:
+        cfg = self.cfg
+        v = x["ego_traj"][..., 3]
+        stlp = x["stlp"]
+        P = lambda i: stlp[..., i]
+        if cfg.norm_stl:
+            vf, df, sf = x["v_factor"], x["d_factor"], x["safe_factor"]
+        else:
+            vf = df = sf = 1.0
+
+        pair = lambda a, b: stl.soft_min(jnp.stack([a, b], -1), tau,
+                                         axis=-1, hard=hard)
+
+        alw_vmin = self._alw0((v - P(I_VMIN)) / vf, tau, hard)
+        alw_vmax = self._alw0((-v + P(I_VMAX)) / vf, tau, hard)
+        alw_dmin = self._alw0((x["x2curr_d"] - P(I_DMIN)) / df, tau, hard)
+        alw_dmax = self._alw0((-x["x2curr_d"] + P(I_DMAX)) / df, tau, hard)
+        alw_th = self._alw0((P(I_THMAX) - x["x2curr_th"]) / P(I_THMAX),
+                            tau, hard)
+        alw_safe = self._alw0((x["min_nei_d"] - P(I_DSAFE)) / sf, tau, hard)
+
+        reach = {}
+        for side in ("left", "right"):
+            d = x[f"x2{side}_d"]
+            g_d = pair((d - P(I_DMIN)) / df, (-d + P(I_DMAX)) / df)
+            reach[f"{side}_d"] = self._ev_alw0(g_d, tau, hard)
+            g_th = (P(I_THMAX) - x[f"x2{side}_th"]) / P(I_THMAX)
+            reach[f"{side}_th"] = self._ev_alw0(g_th, tau, hard)
+
+        def conj(parts):
+            return stl.soft_min(jnp.stack(parts, axis=-1), tau, axis=-1,
+                                hard=hard)
+
+        s_curr = conj([alw_vmin, alw_vmax, alw_dmin, alw_dmax, alw_th,
+                       alw_safe])
+        s_left = conj([alw_vmin, alw_vmax, reach["left_d"],
+                       reach["left_th"], alw_safe])
+        s_right = conj([alw_vmin, alw_vmax, reach["right_d"],
+                        reach["right_th"], alw_safe])
+        return [s_curr, s_left, s_right]
+
+
+def build_scorer(cfg: Config) -> ClauseBank:
+    """The production robustness scorer (fused clause bank)."""
+    return ClauseBank(cfg)
+
+
 def select_scores(scores_list: Sequence[Array], stl_idx: Array) -> Array:
     """Per-row formula selection incl. outlier class 3 -> +1
     (nusc_train.py:150-151, 322)."""
@@ -187,7 +272,10 @@ def compute_scores(signals: Dict[str, Array], formulas, stl_idx: Array,
         tau = cfg.smoothing_factor
     if "x2curr_d" not in signals:
         signals = prep_signals(signals, cfg)
-    scores_list = [f(signals, tau, hard)[:, 0] for f in formulas]
+    if isinstance(formulas, ClauseBank):
+        scores_list = formulas.scores(signals, tau, hard)
+    else:
+        scores_list = [f(signals, tau, hard)[:, 0] for f in formulas]
     # outlier class: constant +1 (nusc_train.py:322)
     scores_list = scores_list + [jax.lax.stop_gradient(scores_list[-1]) * 0.0
                                  + 1.0]

@@ -400,7 +400,7 @@ def train(cfg: Config, ds: SceneDataset, mesh=None, log=print,
     from pstl_tpu.parallel import shard_batch
     from pstl_tpu.utils.meters import MeterDict
 
-    formulas = specs.build_formulas(cfg)
+    formulas = specs.build_scorer(cfg)
     coeffs = diffusion.get_coeffs(cfg)
     net = Net(cfg)
     ds.ensure_random_params(cfg.seed)
@@ -418,7 +418,10 @@ def train(cfg: Config, ds: SceneDataset, mesh=None, log=print,
     train_step = make_train_step(cfg, net, formulas, coeffs, opt)
     eval_step = make_eval_step(cfg, net, formulas, coeffs)
 
+    from pstl_tpu.utils.meters import EtaEstimator
     n_epochs = epochs if epochs is not None else cfg.epochs
+    eta = EtaEstimator(n_epochs, ds.split_len("train") // cfg.batch_size,
+                       ds.split_len("val") // cfg.batch_size, cfg.viz_freq)
     for epi in range(n_epochs):
         for mode in ("train", "val"):
             md = MeterDict()
@@ -426,6 +429,7 @@ def train(cfg: Config, ds: SceneDataset, mesh=None, log=print,
                                 shuffle=(mode == "train"), seed=cfg.seed,
                                 epoch=epi)
             t0 = time.time()
+            bi = -1
             for bi, batch in enumerate(it):
                 batch = {k: jnp.asarray(v) for k, v in batch.items()
                          if k.startswith(("ego", "neighbors", "curr", "left",
@@ -443,8 +447,12 @@ def train(cfg: Config, ds: SceneDataset, mesh=None, log=print,
                           "loss_bc", "acc", "tj_acc"):
                     if k in rd:
                         md.update(k, float(rd[k]))
+            dur = time.time() - t0
+            eta.update(mode, dur, n=max(bi + 1, 1))
+            if mode == "val":
+                eta.epoch_done()
             log(f"{mode:5s}[{epi:03d}] " + md.summary()
-                + f" T:{time.time()-t0:.1f}s")
+                + f" T:{dur:.1f}s ETA:{eta.eta_str()}")
         if cfg.exp_name and (epi % cfg.save_freq == 0 or epi == n_epochs - 1):
             save_checkpoint(os.path.join("exps", cfg.exp_name, "models"),
                             state, epi)

@@ -38,6 +38,55 @@ class MeterDict:
                         for k in keys)
 
 
+class EtaEstimator:
+    """Smart ETA with separate per-sample time models for train/val/viz
+    (parity: utils.py:150-260)."""
+
+    def __init__(self, epochs: int, n_train: int, n_val: int,
+                 viz_freq: int = 50):
+        self.epochs = epochs
+        self.n_train = n_train
+        self.n_val = n_val
+        self.viz_freq = max(viz_freq, 1)
+        self.t_train = self.t_val = self.t_viz = 0.0
+        self.c_train = self.c_val = self.c_viz = 0
+        self.start = time.time()
+        self.done_epochs = 0
+
+    def update(self, mode: str, duration: float, n: int = 1):
+        if mode == "train":
+            self.t_train += duration
+            self.c_train += n
+        elif mode == "val":
+            self.t_val += duration
+            self.c_val += n
+        else:
+            self.t_viz += duration
+            self.c_viz += n
+
+    def epoch_done(self):
+        self.done_epochs += 1
+
+    def eta_seconds(self) -> float:
+        per_tr = self.t_train / max(self.c_train, 1)
+        per_va = self.t_val / max(self.c_val, 1)
+        per_vz = self.t_viz / max(self.c_viz, 1)
+        remaining = max(self.epochs - self.done_epochs, 0)
+        return remaining * (per_tr * self.n_train + per_va * self.n_val
+                            + per_vz / self.viz_freq)
+
+    @staticmethod
+    def _fmt(s: float) -> str:
+        s = int(s)
+        return f"{s//3600:02d}:{(s%3600)//60:02d}:{s%60:02d}"
+
+    def elapsed_str(self) -> str:
+        return self._fmt(time.time() - self.start)
+
+    def eta_str(self) -> str:
+        return self._fmt(self.eta_seconds())
+
+
 class Timer:
     """Accumulates average durations between named marks."""
 
