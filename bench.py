@@ -42,6 +42,8 @@ def main():
                  multi_cands=10, guidance=True, guidance_niters=3,
                  n_rolls=3, n_randoms=64, n_neighbors=8,
                  flex=True).finalize().with_(epochs=1, test=True)
+    if os.environ.get("BENCH_PALLAS"):
+        cfg = cfg.with_(use_pallas_clearance=True)
 
     bs = int(os.environ.get("BENCH_SCENES", "16"))
     max_steps = int(os.environ.get("BENCH_STEPS", "8"))

@@ -46,64 +46,100 @@ def _disc_geometry(ego_xyth, nei, ego_L, ego_W, nL):
     """
     x, y, th = ego_xyth[..., 0], ego_xyth[..., 1], ego_xyth[..., 2]
     re = ego_W / 2.0
-    alpha = jnp.linspace(0.0, 1.0, nL)
-    ax = (-ego_L / 2 + re) * (1 - alpha) + (ego_L / 2 - re) * alpha  # (nL,)
-    cth, sth = jnp.cos(th), jnp.sin(th)
-    ex = x[..., None] + ax * cth[..., None]          # (B, T, nL)
-    ey = y[..., None] + ax * sth[..., None]
 
-    valid = nei[..., 0]                               # (B, K, T)
-    nx0, ny0, nth = nei[..., 1], nei[..., 2], nei[..., 3]
-    Ln, Wn = nei[..., 5], nei[..., 6]
+    def linspace01(shape, dim):
+        # linspace(0,1,nL) from an integer iota at full rank: float iota,
+        # captured constants, and 1-D vectors are all rejected by Mosaic
+        return (jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+                .astype(jnp.float32) / max(nL - 1, 1))
+
+    alpha3 = linspace01((1, 1, nL), 2)               # for (B, T, nL)
+    ax3 = ((-ego_L / 2 + re) * (1 - alpha3)
+           + (ego_L / 2 - re) * alpha3)              # (1, 1, nL)
+    cth, sth = jnp.cos(th), jnp.sin(th)
+    ex = x[..., None] + ax3 * cth[..., None]         # (B, T, nL)
+    ey = y[..., None] + ax3 * sth[..., None]
+
+    # neighbor tensors rearranged to (B, T, K, ...) so every reduction is
+    # over a TRAILING axis (Mosaic cannot lower middle-dim multi_reductions)
+    neiT = jnp.swapaxes(nei, 1, 2)                    # (B, T, K, 7)
+    valid = neiT[..., 0]                              # (B, T, K)
+    nx0, ny0, nth = neiT[..., 1], neiT[..., 2], neiT[..., 3]
+    Ln, Wn = neiT[..., 5], neiT[..., 6]
     rn = Wn / 2.0
     half0 = -Ln / 2 + rn
     half1 = Ln / 2 - rn
-    axn = half0[..., None] * (1 - alpha) + half1[..., None] * alpha
+    alpha4 = linspace01((1, 1, 1, nL), 3)
+    axn = half0[..., None] * (1 - alpha4) + half1[..., None] * alpha4
     ncth, nsth = jnp.cos(nth), jnp.sin(nth)
-    nx = nx0[..., None] + axn * ncth[..., None]       # (B, K, T, nL)
+    nx = nx0[..., None] + axn * ncth[..., None]       # (B, T, K, nL)
     ny = ny0[..., None] + axn * nsth[..., None]
 
-    # pairwise (B, K, T, nL_ego, nL_nei)
-    dx = ex[:, None, :, :, None] - nx[:, :, :, None, :]
-    dy = ey[:, None, :, :, None] - ny[:, :, :, None, :]
-    dist = jnp.sqrt(dx * dx + dy * dy + 1e-12)
-    clr = dist - re - rn[..., None, None]
-    per_nei = jnp.min(clr, axis=(-2, -1))             # (B, K, T)
+    # pairwise min distance via a static unrolled loop over the nL ego
+    # discs — Mosaic supports neither middle-axis reductions nor trailing
+    # reshapes, so every jnp.min here runs over the trailing (nL) axis, and
+    # the sqrt happens after the min (monotone)
+    B, T, K = valid.shape
+    d2min = None
+    for i in range(nL):
+        exi = jax.lax.slice_in_dim(ex, i, i + 1, axis=-1)[:, :, None, :]
+        eyi = jax.lax.slice_in_dim(ey, i, i + 1, axis=-1)[:, :, None, :]
+        dxi = exi - nx                                   # (B, T, K, nL)
+        dyi = eyi - ny
+        d2i = jnp.min(dxi * dxi + dyi * dyi, axis=-1)    # (B, T, K)
+        d2min = d2i if d2min is None else jnp.minimum(d2min, d2i)
+    dist_min = jnp.sqrt(d2min + 1e-12)
+    per_nei = dist_min - re - rn                         # (B, T, K)
     clipped = jnp.clip(per_nei, -5.0, 20.0)
     masked = clipped * valid + (1 - valid) * 100.0
-    return masked, (ex, ey, nx, ny, dist, clr, per_nei, valid, ax, cth, sth)
+    return masked, (ex, ey, nx, ny, d2min, dist_min, per_nei, valid, ax3,
+                    cth, sth)
 
 
 def _fwd_block(ego_xyth, nei, ego_L, ego_W, nL):
     masked, _ = _disc_geometry(ego_xyth, nei, ego_L, ego_W, nL)
-    return jnp.min(masked, axis=-2)                   # min over K -> (B, T)
+    return jnp.min(masked, axis=-1)                   # min over K -> (B, T)
 
 
 def _bwd_block(ego_xyth, nei, g, ego_L, ego_W, nL):
     """Cotangent routing (recompute): g (B, T) -> d ego_xyth (B, T, 3)."""
-    masked, (ex, ey, nx, ny, dist, clr, per_nei, valid, ax, cth, sth) = \
-        _disc_geometry(ego_xyth, nei, ego_L, ego_W, nL)
-    out = jnp.min(masked, axis=-2, keepdims=True)     # (B, 1, T)
+    masked, (ex, ey, nx, ny, d2min, dist_min, per_nei, valid, ax3, cth,
+             sth) = _disc_geometry(ego_xyth, nei, ego_L, ego_W, nL)
+    out = jnp.min(masked, axis=-1, keepdims=True)     # (B, T, 1)
     # tie-splitting min VJP over K (matches jnp.min)
     eqK = (masked == out).astype(g.dtype)
-    wK = eqK / jnp.maximum(jnp.sum(eqK, axis=-2, keepdims=True), 1.0)
+    wK = eqK / jnp.maximum(jnp.sum(eqK, axis=-1, keepdims=True), 1.0)
     gate = ((per_nei > -5.0) & (per_nei < 20.0)).astype(g.dtype) * valid
-    gK = g[:, None, :] * wK * gate                    # (B, K, T)
-    # min VJP over disc pairs
-    mn = jnp.min(clr, axis=(-2, -1), keepdims=True)
-    eqP = (clr == mn).astype(g.dtype)
-    wP = eqP / jnp.maximum(jnp.sum(eqP, axis=(-2, -1), keepdims=True), 1.0)
-    gP = gK[..., None, None] * wP                     # (B, K, T, nL, nL)
-    dx = ex[:, None, :, :, None] - nx[:, :, :, None, :]
-    dy = ey[:, None, :, :, None] - ny[:, :, :, None, :]
-    gdx = gP * dx / dist
-    gdy = gP * dy / dist
-    g_ex = jnp.sum(gdx, axis=(1, 4))                  # (B, T, nL_ego)
-    g_ey = jnp.sum(gdy, axis=(1, 4))
+    gK = g[..., None] * wK * gate                     # (B, T, K)
+    # pair ties: count eq pairs across the static ego-disc loop, then route
+    cnt = None
+    eq_i = []
+    for i in range(nL):
+        exi = jax.lax.slice_in_dim(ex, i, i + 1, axis=-1)[:, :, None, :]
+        eyi = jax.lax.slice_in_dim(ey, i, i + 1, axis=-1)[:, :, None, :]
+        dxi = exi - nx                                   # (B, T, K, nL)
+        dyi = eyi - ny
+        e = ((dxi * dxi + dyi * dyi) == d2min[..., None]).astype(g.dtype)
+        eq_i.append(e)
+        s = jnp.sum(e, axis=-1)                       # (B, T, K)
+        cnt = s if cnt is None else cnt + s
+    gKn = gK / jnp.maximum(cnt, 1.0) / dist_min       # d/d d2 chain: *0.5*2
+    g_ex_list, g_ey_list = [], []
+    for i in range(nL):
+        exi = jax.lax.slice_in_dim(ex, i, i + 1, axis=-1)[:, :, None, :]
+        eyi = jax.lax.slice_in_dim(ey, i, i + 1, axis=-1)[:, :, None, :]
+        dxi = exi - nx
+        dyi = eyi - ny
+        gdx = jnp.sum(eq_i[i] * dxi, axis=-1) * gKn   # (B, T, K)
+        gdy = jnp.sum(eq_i[i] * dyi, axis=-1) * gKn
+        g_ex_list.append(jnp.sum(gdx, axis=-1))       # (B, T)
+        g_ey_list.append(jnp.sum(gdy, axis=-1))
+    g_ex = jnp.stack(g_ex_list, axis=-1)              # (B, T, nL)
+    g_ey = jnp.stack(g_ey_list, axis=-1)
     gx = jnp.sum(g_ex, axis=-1)
     gy = jnp.sum(g_ey, axis=-1)
-    gth = jnp.sum(g_ex * (-(ax) * sth[..., None])
-                  + g_ey * (ax * cth[..., None]), axis=-1)
+    gth = jnp.sum(g_ex * (-(ax3) * sth[..., None])
+                  + g_ey * (ax3 * cth[..., None]), axis=-1)
     return jnp.stack([gx, gy, gth], axis=-1)
 
 

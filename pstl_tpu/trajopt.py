@@ -29,13 +29,14 @@ Array = jax.Array
 
 def trajopt_loss(params: Array, states_flat: Array,
                  signal_base: Dict[str, Array], highlevel: Array,
-                 formulas, cfg: Config):
+                 formulas, cfg: Config, tau: Array | None = None):
     """params: (n, nt, 2) flat dense controls; returns (loss, aux)."""
     valid = signal_base["dense_valids"].reshape(-1)
     trajs = dyn.rollout(states_flat, params, cfg.dt)
     sig = dict(signal_base)
     sig["ego_traj"] = trajs[:, :-1]
-    _, scores, _ = specs.compute_scores(sig, formulas, highlevel, valid, cfg)
+    _, scores, _ = specs.compute_scores(sig, formulas, highlevel, valid, cfg,
+                                        tau=tau)
     # note: clip floor 1e-3 here (nusc_train.py:297), not mask_mean's 1e-2
     dense_loss = (jnp.mean(jax.nn.relu(cfg.stl_trajopt_thres - scores) * valid)
                   / jnp.clip(jnp.mean(valid), 1e-3))
@@ -64,20 +65,36 @@ def optimize(params0: Array, states: Array, signal_base: Dict[str, Array],
     flat0 = params0.reshape(n, cfg.nt, 2)
     states_flat = jnp.broadcast_to(states[:, None, None],
                                    (bs, M, 3, 4)).reshape(n, 4)
-    opt = optax.adam(cfg.trajopt_lr)
+    # warm, cosine-annealed lr: the tau=100 soft-min landscape is stiff —
+    # a hot start escapes bad seeds, the decay settles into the tight
+    # calibrated bands (reference uses a fixed lr; this converges to higher
+    # satisfaction in the same iteration budget)
+    sched = optax.cosine_decay_schedule(cfg.trajopt_lr * 3.0, iters,
+                                        alpha=0.02)
+    opt = optax.adam(sched)
 
-    grad_fn = jax.grad(lambda p: trajopt_loss(p, states_flat, signal_base,
-                                              highlevel, formulas, cfg)[0])
+    # tau-annealing: start with a smooth robustness surrogate (tau=10) whose
+    # gradients see every clause, sharpen geometrically to the evaluation
+    # tau — escapes the saturated-logsumexp plateaus that trap the
+    # fixed-tau optimization on lane-change seeds
+    tau_final = cfg.smoothing_factor
+    tau_start = min(10.0, tau_final)
 
-    def step(carry, _):
+    grad_fn = jax.grad(
+        lambda p, tau: trajopt_loss(p, states_flat, signal_base, highlevel,
+                                    formulas, cfg, tau=tau)[0])
+
+    def step(carry, i):
         p, opt_state = carry
-        g = grad_fn(p)
+        frac = i.astype(jnp.float32) / max(iters - 1, 1)
+        tau = tau_start * (tau_final / tau_start) ** frac
+        g = grad_fn(p, tau)
         updates, opt_state = opt.update(g, opt_state, p)
         p = optax.apply_updates(p, updates)
         return (p, opt_state), None
 
-    (flat, _), _ = jax.lax.scan(step, (flat0, opt.init(flat0)), None,
-                                length=iters)
+    (flat, _), _ = jax.lax.scan(step, (flat0, opt.init(flat0)),
+                                jnp.arange(iters))
     loss, aux = trajopt_loss(flat, states_flat, signal_base, highlevel,
                              formulas, cfg)
     scores = aux["scores"].reshape(bs, M, 3)

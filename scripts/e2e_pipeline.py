@@ -30,7 +30,7 @@ from pstl_tpu.config import Config
 from pstl_tpu.data.dataset import SceneDataset, batch_iterator
 from pstl_tpu.models import Net
 
-OUT = "exps/e2e"
+OUT = os.environ.get("E2E_OUT", "exps/e2e")
 T0 = time.time()
 
 
