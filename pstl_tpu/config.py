@@ -91,6 +91,11 @@ class Config:
     beta_start: float = 1e-4
     beta_end: float = 0.02
     cos: bool = True              # cosine schedule (forced on in reference)
+    # fast sampling (beyond-reference): "ddpm" = ancestral (parity),
+    # "ddim" = deterministic subsequence sampler (Song et al. 2020)
+    sampler: str = "ddpm"
+    ddim_steps: int = 20
+    ddim_eta: float = 0.0
     grad_rollout: bool = False
     use_init_hint: bool = False
     gt_data_training: bool = False

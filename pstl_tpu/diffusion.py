@@ -235,6 +235,69 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
     return all_steps[-1], all_steps
 
 
+def reverse_sample_ddim(key: Array, apply_fn: Callable,
+                        batch: Dict[str, Array], highlevel: Array,
+                        feature: Array, cfg: Config, coeffs: Coeffs, n: int,
+                        guidance_ctx=None, maximize: bool = False,
+                        mono: bool = False,
+                        tmp_stlp: Optional[Array] = None):
+    """DDIM sampler (Song et al. 2020, arXiv:2010.02502) over a uniform
+    timestep subsequence — a beyond-reference fast-sampling mode: 5x fewer
+    network evaluations at eta=0 with deterministic trajectories.  Guidance
+    is applied to the pre-noise update exactly like the DDPM path; the
+    per-step decodings feed multi-cands/refinement the same way.
+    """
+    T = cfg.diffusion_steps
+    S = min(cfg.ddim_steps, T - 1)
+    taus = np.linspace(T - 1, 1, S).round().astype(np.int32)
+    taus_next = np.concatenate([taus[1:], [0]]).astype(np.int32)
+    use_guidance = guidance_ctx is not None and cfg.guidance
+    k_init, k_loop = jax.random.split(key)
+    x0 = jax.random.normal(k_init, (n, cfg.nt * 2))
+    if mono:
+        ext_extra = {"stlp": tmp_stlp, "gt_stlp": tmp_stlp}
+    else:
+        ext_extra = {"stlp": batch["stlp_dense"]}
+    eta = cfg.ddim_eta
+
+    def step(carry, xs):
+        x, k = carry
+        t, t_next = xs
+        k, k_z = jax.random.split(k)
+        t_col = jnp.full((n, 1), t, dtype=jnp.float32)
+        ext = {"timestep": t_col, "highlevel": highlevel, "noise": x,
+               **ext_extra}
+        eps = apply_fn(ext).reshape(n, cfg.nt * 2)
+        ab_t = coeffs.alpha_hat[t]
+        ab_n = jnp.where(t_next > 0, coeffs.alpha_hat[t_next], 1.0)
+        x0_hat = (x - jnp.sqrt(1 - ab_t) * eps) / jnp.sqrt(ab_t)
+        sigma = (eta * jnp.sqrt((1 - ab_n) / (1 - ab_t))
+                 * jnp.sqrt(1 - ab_t / ab_n))
+        dir_coef = jnp.sqrt(jnp.maximum(1 - ab_n - sigma ** 2, 0.0))
+        mu = jnp.sqrt(ab_n) * x0_hat + dir_coef * eps
+        if use_guidance:
+            beta = coeffs.beta[t]
+            mu = _guidance_step(mu, beta, guidance_ctx, cfg, maximize)
+        z = jnp.where(t_next > 0, jax.random.normal(k_z, x.shape), 0.0)
+        x_next = mu + sigma * z
+        return (x_next, k), x_next
+
+    (_, _), xs_hist = jax.lax.scan(step, (x0, k_loop),
+                                   (jnp.asarray(taus),
+                                    jnp.asarray(taus_next)))
+    full = jnp.concatenate([x0[None], xs_hist], axis=0)
+    all_steps = jax.vmap(lambda v: denormalize_controls(v, cfg))(full)
+    return all_steps[-1], all_steps
+
+
+def sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
+           highlevel: Array, feature: Array, cfg: Config, coeffs: Coeffs,
+           n: int, **kw):
+    """Dispatch to the configured sampler (ddpm parity / ddim fast)."""
+    fn = reverse_sample_ddim if cfg.sampler == "ddim" else reverse_sample
+    return fn(key, apply_fn, batch, highlevel, feature, cfg, coeffs, n, **kw)
+
+
 def select_multi_cands(all_steps: Array, k: int, states_flat: Array,
                        signal_base: Dict[str, Array], highlevel: Array,
                        formulas, cfg: Config):

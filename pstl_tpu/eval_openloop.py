@@ -108,7 +108,7 @@ def _sample_and_score(params, key, batch, cfg: Config, net: Net, formulas,
 
         guidance_ctx = ((signal_base, highlevel, states_flat, formulas)
                         if cfg.guidance else None)
-        nn_controls, all_steps = diffusion.reverse_sample(
+        nn_controls, all_steps = diffusion.sample(
             k_sample, apply_fn, dense, highlevel, feature, cfg, coeffs, N,
             guidance_ctx=guidance_ctx)
         if cfg.rect_head and not cfg.not_use_rect:

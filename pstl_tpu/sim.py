@@ -165,7 +165,7 @@ def make_planner(cfg: Config, net: Net, params, formulas,
 
         guidance_ctx = ((signal_base, highlevel, states_flat, formulas)
                         if cfg.guidance else None)
-        nn_controls, all_steps = diffusion.reverse_sample(
+        nn_controls, all_steps = diffusion.sample(
             k_sample, apply_fn, dense, highlevel, feature, cfg, coeffs, n,
             guidance_ctx=guidance_ctx, maximize=True)
 

@@ -199,8 +199,17 @@ class ClauseBank:
         suffix = -stl.logcumsumexp(-g * tau, axis=-1, reverse=True) / tau
         return stl.soft_max(suffix[..., :nt2], tau, axis=-1)
 
-    def scores(self, x: Dict[str, Array], tau: float,
-               hard: bool = False) -> List[Array]:
+    def clause_breakdown(self, x: Dict[str, Array], tau: float,
+                         hard: bool = False) -> Dict[str, Array]:
+        """Per-clause robustness at t=0 (the ListAnd ``full=True``
+        diagnostic, stl_d_lib.py:101-112) keyed by clause name."""
+        vals = self._clauses(x, tau, hard)
+        names = ["alw_vmin", "alw_vmax", "alw_dmin", "alw_dmax", "alw_th",
+                 "alw_safe", "reach_left_d", "reach_left_th",
+                 "reach_right_d", "reach_right_th"]
+        return dict(zip(names, vals))
+
+    def _clauses(self, x, tau, hard):
         cfg = self.cfg
         v = x["ego_traj"][..., 3]
         stlp = x["stlp"]
@@ -209,25 +218,29 @@ class ClauseBank:
             vf, df, sf = x["v_factor"], x["d_factor"], x["safe_factor"]
         else:
             vf = df = sf = 1.0
-
         pair = lambda a, b: stl.soft_min(jnp.stack([a, b], -1), tau,
                                          axis=-1, hard=hard)
-
-        alw_vmin = self._alw0((v - P(I_VMIN)) / vf, tau, hard)
-        alw_vmax = self._alw0((-v + P(I_VMAX)) / vf, tau, hard)
-        alw_dmin = self._alw0((x["x2curr_d"] - P(I_DMIN)) / df, tau, hard)
-        alw_dmax = self._alw0((-x["x2curr_d"] + P(I_DMAX)) / df, tau, hard)
-        alw_th = self._alw0((P(I_THMAX) - x["x2curr_th"]) / P(I_THMAX),
-                            tau, hard)
-        alw_safe = self._alw0((x["min_nei_d"] - P(I_DSAFE)) / sf, tau, hard)
-
-        reach = {}
+        out = [
+            self._alw0((v - P(I_VMIN)) / vf, tau, hard),
+            self._alw0((-v + P(I_VMAX)) / vf, tau, hard),
+            self._alw0((x["x2curr_d"] - P(I_DMIN)) / df, tau, hard),
+            self._alw0((-x["x2curr_d"] + P(I_DMAX)) / df, tau, hard),
+            self._alw0((P(I_THMAX) - x["x2curr_th"]) / P(I_THMAX), tau,
+                       hard),
+            self._alw0((x["min_nei_d"] - P(I_DSAFE)) / sf, tau, hard),
+        ]
         for side in ("left", "right"):
             d = x[f"x2{side}_d"]
             g_d = pair((d - P(I_DMIN)) / df, (-d + P(I_DMAX)) / df)
-            reach[f"{side}_d"] = self._ev_alw0(g_d, tau, hard)
+            out.append(self._ev_alw0(g_d, tau, hard))
             g_th = (P(I_THMAX) - x[f"x2{side}_th"]) / P(I_THMAX)
-            reach[f"{side}_th"] = self._ev_alw0(g_th, tau, hard)
+            out.append(self._ev_alw0(g_th, tau, hard))
+        return out
+
+    def scores(self, x: Dict[str, Array], tau: float,
+               hard: bool = False) -> List[Array]:
+        (alw_vmin, alw_vmax, alw_dmin, alw_dmax, alw_th, alw_safe,
+         left_d, left_th, right_d, right_th) = self._clauses(x, tau, hard)
 
         def conj(parts):
             return stl.soft_min(jnp.stack(parts, axis=-1), tau, axis=-1,
@@ -235,10 +248,8 @@ class ClauseBank:
 
         s_curr = conj([alw_vmin, alw_vmax, alw_dmin, alw_dmax, alw_th,
                        alw_safe])
-        s_left = conj([alw_vmin, alw_vmax, reach["left_d"],
-                       reach["left_th"], alw_safe])
-        s_right = conj([alw_vmin, alw_vmax, reach["right_d"],
-                        reach["right_th"], alw_safe])
+        s_left = conj([alw_vmin, alw_vmax, left_d, left_th, alw_safe])
+        s_right = conj([alw_vmin, alw_vmax, right_d, right_th, alw_safe])
         return [s_curr, s_left, s_right]
 
 

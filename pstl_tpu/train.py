@@ -154,7 +154,7 @@ def batch_forward_and_loss(params, key: Array, batch: Dict[str, Array],
 
             guidance_ctx = ((signal_base, highlevel, states_flat, formulas)
                             if cfg.guidance else None)
-            nn_controls, all_steps = diffusion.reverse_sample(
+            nn_controls, all_steps = diffusion.sample(
                 k_sample, apply_fn, dense, highlevel, feature, cfg, coeffs,
                 n, guidance_ctx=guidance_ctx)
             if cfg.multi_cands is not None:
@@ -274,7 +274,7 @@ def _mono_forward_and_loss(params, key, batch, cfg, net, formulas, coeffs,
             return net.apply(params, batch, e, prev_feature=None,
                              n_randoms=M)
 
-        controls, _ = diffusion.reverse_sample(
+        controls, _ = diffusion.sample(
             k_sample, apply_fn, batch, hl, None, cfg, coeffs, n, mono=True,
             tmp_stlp=gt_stlp)
         controls = jax.lax.stop_gradient(controls)

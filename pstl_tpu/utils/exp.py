@@ -32,11 +32,23 @@ class TeeLogger:
 
 
 def setup_exp_dir(cfg: Config, root: str = "exps",
-                  tee: bool = True) -> str:
+                  tee: bool = True, snapshot_src: bool = True) -> str:
     name = cfg.exp_name or datetime.now().strftime("exp_%m%d_%H%M%S")
     full = os.path.join(root, name)
-    for sub in ("viz", "models"):
+    for sub in ("viz", "models", "src"):
         os.makedirs(os.path.join(full, sub), exist_ok=True)
+    if snapshot_src:
+        # reproducibility capsule: snapshot the package source
+        # (utils.py:335-345 behavior)
+        import shutil
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for dirpath, _, files in os.walk(pkg):
+            rel = os.path.relpath(dirpath, os.path.dirname(pkg))
+            for f in files:
+                if f.endswith(".py"):
+                    dst = os.path.join(full, "src", rel)
+                    os.makedirs(dst, exist_ok=True)
+                    shutil.copy2(os.path.join(dirpath, f), dst)
     with open(os.path.join(full, "config.json"), "w") as f:
         json.dump(cfg.to_dict(), f, indent=2, default=str)
     with open(os.path.join(full, "cmd.txt"), "w") as f:

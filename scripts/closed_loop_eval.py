@@ -1,0 +1,82 @@
+"""Closed-loop Table-II evaluation on held-out scenes.
+
+Parity target: the ``nusc_sim.py`` driver over the 25 curated test scenes
+(nusc_dataset.py:38-72): compliance, valid area, progress, collision rate,
+out-of-lane rate, and planning time per step — with the full Ours(+guidance)
+planning stack, on a trained checkpoint.
+
+Usage:
+  python scripts/closed_loop_eval.py exps/e2e_v2/models [--guidance]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pstl_tpu import diffusion, sim, specs, train
+from pstl_tpu.config import Config
+from pstl_tpu.data import synthetic
+from pstl_tpu.data.dataset import SceneDataset, batch_iterator
+from pstl_tpu.models import Net
+
+N_TEST_SCENES = 25     # matches the reference's curated list size
+
+
+def main():
+    ckpt = sys.argv[1] if len(sys.argv) > 1 else "exps/e2e_v2/models"
+    guidance = "--guidance" in sys.argv
+    base = dict(n_randoms=64, n_neighbors=8, batch_size=16, flex=True,
+                load_stlp=True, load_tj=True)
+    cfg = Config(diffusion=True, rect_head=True, diverse_loss=True,
+                 multi_cands=10, **base).finalize().with_(
+                     epochs=1, test=True, n_rolls=3,
+                     guidance=guidance, guidance_niters=3)
+
+    # held-out scenes: a fresh seed never used for training data; pre_check
+    # drops slow scenes (mean GT speed < 1 m/s, nusc_sim.py:34-39)
+    data = synthetic.generate_dataset(777, N_TEST_SCENES * 2, cfg,
+                                      scene_len=38)
+    keep = np.where(data["scene_ego_full"][:, :, 3].mean(-1)
+                    >= 1.0)[0][:N_TEST_SCENES]
+    data = {k: v[keep] for k, v in data.items()}
+    scenes = sim.scenes_from_dataset(data)
+
+    net = Net(cfg)
+    formulas = specs.build_scorer(cfg)
+    coeffs = diffusion.get_coeffs(cfg)
+    ds = SceneDataset(
+        {k: v for k, v in data.items() if not k.startswith("scene_")}, cfg)
+    sample = next(batch_iterator(ds, "val", 8, shuffle=False,
+                                 drop_last=False))
+    state = train.init_state(cfg, net, sample, jax.random.PRNGKey(0))
+    state = train.load_params_only(ckpt, state)
+
+    t0 = time.time()
+    out = sim.run_closed_loop_host(
+        jax.random.PRNGKey(0), scenes, cfg, net, state.params, formulas,
+        coeffs, max_steps=36, record=True)
+    wall = time.time() - t0
+    steps = float(np.sum(np.asarray(out["traj_len"])))
+    result = {
+        "variant": "ours_guidance" if guidance else "ours",
+        "compliance": round(float(out["stl_acc"].mean()), 4),
+        "area": round(float(out["area"]), 4),
+        "progress": round(float(out["progress"].mean()), 3),
+        "collision": round(float(out["collide"].mean()), 4),
+        "out_of_lane": round(float(out["out_of_lane"].mean()), 4),
+        "mean_traj_len": round(float(out["traj_len"].mean()), 2),
+        "plan_s_per_step": round(wall / max(steps / N_TEST_SCENES, 1), 4),
+        "scenes": N_TEST_SCENES,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,33 @@ def test_bank_gradients_match():
                                atol=1e-5)
 
 
+def test_clause_breakdown_consistent_with_scores():
+    cfg = Config(diffusion=True, n_randoms=4, n_neighbors=2)
+    batch = make_batch(cfg, bs=3)
+    gt = batch["ego_traj"][..., :4]
+    stlp = specs.calibrate_stlp(batch, gt, cfg)
+    bank = specs.build_scorer(cfg)
+    signals = specs.prep_signals({
+        "ego_traj": gt,
+        "neighbors": batch["neighbor_trajs_aug"],
+        "currlane_wpts": batch["currlane_wpts"],
+        "leftlane_wpts": batch["leftlane_wpts"],
+        "rightlane_wpts": batch["rightlane_wpts"],
+        "stlp": stlp[:, None, :],
+    }, cfg)
+    tau = cfg.smoothing_factor
+    br = bank.clause_breakdown(signals, tau, hard=True)
+    assert set(br) == {"alw_vmin", "alw_vmax", "alw_dmin", "alw_dmax",
+                       "alw_th", "alw_safe", "reach_left_d", "reach_left_th",
+                       "reach_right_d", "reach_right_th"}
+    # hard conjunction of the keep clauses == hard score of formula 0
+    s = bank.scores(signals, tau, hard=True)
+    keep = np.min(np.stack([np.asarray(br[k]) for k in
+                            ("alw_vmin", "alw_vmax", "alw_dmin", "alw_dmax",
+                             "alw_th", "alw_safe")]), axis=0)
+    np.testing.assert_allclose(keep, np.asarray(s[0]), rtol=1e-5)
+
+
 def test_compute_scores_with_bank_outlier_and_acc():
     cfg = Config(diffusion=True, n_randoms=4, n_neighbors=2)
     batch = make_batch(cfg, bs=3)
