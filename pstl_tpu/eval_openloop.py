@@ -94,7 +94,7 @@ def _sample_and_score(params, key, batch, cfg: Config, net: Net, formulas,
         sig = dict(signal_base)
         sig["ego_traj"] = trajs[:, :-1]
         return specs.compute_scores(sig, formulas, highlevel, valid, cfg,
-                                    scene=True), trajs
+                                    scene=True, n_group=S), trajs
 
     if cfg.diffusion:
         ext0 = {"timestep": jnp.ones((N, 1)), "highlevel": highlevel,

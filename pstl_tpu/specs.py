@@ -270,7 +270,8 @@ def select_scores(scores_list: Sequence[Array], stl_idx: Array) -> Array:
 def compute_scores(signals: Dict[str, Array], formulas, stl_idx: Array,
                    mask: Array, cfg: Config, tau: Optional[float] = None,
                    hard: bool = False, scene: bool = False,
-                   tj_scores: Optional[Array] = None):
+                   tj_scores: Optional[Array] = None,
+                   n_group: Optional[int] = None):
     """Evaluate all three formulas, select per-row, masked accuracy
     (nusc_train.py:318-345).
 
@@ -302,8 +303,9 @@ def compute_scores(signals: Dict[str, Array], formulas, stl_idx: Array,
     else:
         acc = mask_mean((scores > 0).astype(scores.dtype), mask_flat)
     if scene:
-        sc = scores.reshape(-1, cfg.n_randoms, 3)
-        mc = mask.reshape(-1, cfg.n_randoms, 3)
+        g = n_group or cfg.n_randoms
+        sc = scores.reshape(-1, g, 3)
+        mc = mask.reshape(-1, g, 3)
         scene_acc = mask_mean((jnp.max(sc, axis=1) > 0).astype(scores.dtype),
                               mc[:, 0, :])
         return scores_list, scores, acc, scene_acc
