@@ -110,6 +110,19 @@ def test_gt_replay_stays_in_lane(setup):
         assert not bool(ool), f"GT replay out of lane at t={t}"
 
 
+def test_closed_loop_host_record_and_render(setup, tmp_path):
+    cfg, data, scenes, net, formulas, coeffs, params = setup
+    out = sim.run_closed_loop_host(
+        jax.random.PRNGKey(0), scenes, cfg, net, params, formulas, coeffs,
+        max_steps=2, record=True, render_dir=str(tmp_path))
+    assert "history" in out and len(out["history"]["ego"]) >= 2
+    assert np.isfinite(float(out["area"]))
+    import os
+    gifs = [f for f in os.listdir(tmp_path) if f.endswith(".gif")]
+    frames = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
+    assert gifs and frames
+
+
 def test_closed_loop_episode_runs(setup):
     cfg, data, scenes, net, formulas, coeffs, params = setup
     out = jax.jit(lambda k: sim.run_closed_loop(
