@@ -90,6 +90,27 @@ class SceneDataset:
         self.data["params_init"] = params.copy()
 
 
+def to_shard_store(ds: SceneDataset, path: str):
+    """Persist the dataset as a native shard-store directory."""
+    from pstl_tpu.runtime import write_store
+    write_store(path, ds.data)
+
+
+def shard_store_iterator(store, ds: SceneDataset, split: str,
+                         batch_size: int, shuffle: bool, seed: int = 0,
+                         epoch: int = 0,
+                         columns: Optional[Tuple[str, ...]] = None):
+    """Batch iterator backed by the C++ shard store: the native worker
+    thread assembles batch k+1 (mmap gather, thread pool) while batch k is
+    being transferred/consumed — the TPU-native replacement for the
+    reference's DataLoader(num_workers=8)."""
+    idx = ds.splits[split].copy()
+    if shuffle:
+        rng = np.random.RandomState(seed * 100003 + epoch)
+        rng.shuffle(idx)
+    yield from store.iter_batches(idx, batch_size, columns=columns)
+
+
 def batch_iterator(ds: SceneDataset, split: str, batch_size: int,
                    shuffle: bool, seed: int = 0, drop_last: bool = True,
                    epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:

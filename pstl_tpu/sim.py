@@ -45,6 +45,12 @@ CORRIDOR_HALF = 2.5    # analytic drivable half-width per valid lane
 
 # fixed aggressive stlp override (nusc_sim.py:466-472)
 AGGRESSIVE_STLP = np.array([1.0, 9.0, -3.0, 2.0, 0.1, 0.2], np.float32)
+# --test_aggressive per-episode presets (nusc_sim.py:444-465)
+TEST_AGGRESSIVE_STLPS = np.array([
+    [0.0, 1.0, -1.0, 2.0, 2.0, 0.2],
+    [0.0, 4.0, -1.0, 1.0, 1.0, 0.2],
+    [0.0, 6.0, -1.0, 1.0, 0.2, 0.2],
+], np.float32)
 
 
 class SceneTensors(NamedTuple):
@@ -122,24 +128,31 @@ def observe(scene: SceneTensors, ego_state: Array, t: Array,
 # ---------------------------------------------------------------------------
 
 def make_planner(cfg: Config, net: Net, params, formulas,
-                 coeffs: diffusion.Coeffs) -> Callable:
+                 coeffs: diffusion.Coeffs,
+                 stlp_override: Optional[np.ndarray] = None) -> Callable:
     """Returns plan(key, obs_batch) -> (u0 (bs, 2), info dict).
 
     Full reference planning pipeline (nusc_sim.py:409-683): densify with the
-    aggressive stlp override, DDPM reverse pass (guidance maximize=True),
-    multi-cands + RefineNet + n_rolls re-rectification, lane-keep restriction,
-    argmax robustness, first control extracted.
+    aggressive stlp override (per-scene overrides via ``stlp_override``
+    (bs, 6) for the --test_aggressive presets), DDPM reverse pass (guidance
+    maximize=True), multi-cands + RefineNet + n_rolls re-rectification,
+    lane-keep restriction, argmax robustness, first control extracted.
     """
     M = cfg.n_randoms
+    override = jnp.asarray(stlp_override if stlp_override is not None
+                           else AGGRESSIVE_STLP)
 
     def plan(key, obs):
         bs = obs["ego_traj"].shape[0]
         n = bs * M * 3
         k_dense, k_sample = jax.random.split(key)
         states = obs["ego_traj"][:, 0, :4]
-        gt_stlp = jnp.broadcast_to(jnp.asarray(AGGRESSIVE_STLP), (bs, 6))
-        stlp_dense = jnp.broadcast_to(jnp.asarray(AGGRESSIVE_STLP),
-                                      (n, 1, 6))
+        gt_stlp = jnp.broadcast_to(override.reshape(-1, 6)[-1], (bs, 6))
+        if override.ndim == 2:
+            stlp_dense = jnp.repeat(override[:, None, :], M * 3,
+                                    axis=0).reshape(n, 1, 6)
+        else:
+            stlp_dense = jnp.broadcast_to(override, (n, 1, 6))
         dense = specs.densify_batch(obs, gt_stlp, cfg, key=k_dense,
                                     stlp_dense=stlp_dense)
         highlevel = dense["highlevel_dense"]
@@ -359,7 +372,8 @@ def _carry_metrics(c):
 
 
 def make_closed_loop_step(scenes: SceneTensors, cfg: Config, net: Net,
-                          params, formulas, coeffs, with_info: bool = False):
+                          params, formulas, coeffs, with_info: bool = False,
+                          stlp_override=None):
     """Host-driven variant: ONE jitted (observe -> plan -> env step ->
     metrics update) program, called per replanning step from python.
 
@@ -369,7 +383,8 @@ def make_closed_loop_step(scenes: SceneTensors, cfg: Config, net: Net,
     launch latency (the whole step is still a single device program).
     Returns (init_carry, step_fn) with step_fn: carry -> carry.
     """
-    plan = make_planner(cfg, net, params, formulas, coeffs)
+    plan = make_planner(cfg, net, params, formulas, coeffs,
+                        stlp_override=stlp_override)
     bs = scenes.ego_full.shape[0]
 
     class Carry(NamedTuple):
@@ -427,8 +442,8 @@ def make_closed_loop_step(scenes: SceneTensors, cfg: Config, net: Net,
 def run_closed_loop_host(key: Array, scenes: SceneTensors, cfg: Config,
                          net: Net, params, formulas, coeffs,
                          max_steps: int, record: bool = False,
-                         render_dir: Optional[str] = None
-                         ) -> Dict[str, Array]:
+                         render_dir: Optional[str] = None,
+                         stlp_override=None) -> Dict[str, Array]:
     """Host-driven episode runner (same metrics as run_closed_loop).
 
     record=True additionally returns per-step ego history, plan trajectories
@@ -440,7 +455,8 @@ def run_closed_loop_host(key: Array, scenes: SceneTensors, cfg: Config,
 
     init_carry, step = make_closed_loop_step(scenes, cfg, net, params,
                                              formulas, coeffs,
-                                             with_info=record)
+                                             with_info=record,
+                                             stlp_override=stlp_override)
     c = init_carry(key)
     bs = scenes.ego_full.shape[0]
     hist = {"ego": [np.asarray(c.ego)], "plan": [], "area": []}
