@@ -138,6 +138,18 @@ def batch_forward_and_loss(params, key: Array, batch: Dict[str, Array],
         sig["ego_traj"] = trajs[:, :-1]
         return specs.compute_scores(sig, formulas, highlevel, valid, cfg)
 
+    def coll_loss(controls):
+        """TrafficSim collision loss on generated rollouts
+        (nusc_train.py:416-421), active when cfg.collision_loss is set."""
+        if cfg.collision_loss is None:
+            return jnp.zeros(())
+        trajs = dyn.rollout(states_flat, controls, cfg.dt)
+        sig = dict(signal_base)
+        sig["ego_traj"] = trajs[:, :-1]
+        sig = specs.prep_signals(sig, cfg, with_collision=True)
+        return losses.collision(sig["min_centroid_d"], sig["radius_sum"],
+                                cfg)
+
     if cfg.diffusion:
         noise, steps, noised = diffusion.prep(
             k_prep, batch["params"], cfg, coeffs)
@@ -175,16 +187,19 @@ def batch_forward_and_loss(params, key: Array, batch: Dict[str, Array],
             if cfg.diverse_loss:
                 rd["loss_diversity"] = losses.dpp_diversity(
                     rect_controls, scores, cfg)
+                # stay-close mask uses the POST-rect scores
+                # (nusc_train.py:466)
                 rd["loss_reg"], _ = losses.rect_reg(
-                    rect_controls, nn_controls, prev_scores, cfg)
+                    rect_controls, nn_controls, scores, cfg)
                 rd["loss"] = (rd["loss_stl"]
                               + rd["loss_reg"] * cfg.rect_reg_loss
                               + rd["loss_diversity"])
             else:
                 rd["loss_reg"], rd["extra_loss_reg"] = losses.rect_reg(
                     rect_controls, nn_controls, prev_scores, cfg)
+                rd["loss_coll"] = coll_loss(rect_controls)
                 rd["loss"] = (rd["loss_stl"] + rd["loss_reg"]
-                              + rd["extra_loss_reg"])
+                              + rd["extra_loss_reg"] + rd["loss_coll"])
         else:
             # plain DDPM: STL measured on trajopt targets' score statistics;
             # the sampler is only run for metrics at viz epochs in the
@@ -194,7 +209,9 @@ def batch_forward_and_loss(params, key: Array, batch: Dict[str, Array],
             rd["loss_stl"] = losses.stl_hinge(scores, valid,
                                               cfg.stl_nn_thres,
                                               cfg.stl_weight) * 0.0
-            rd["loss"] = rd["loss_stl"] + rd["loss_diffusion"]
+            rd["loss_coll"] = coll_loss(dense_controls)
+            rd["loss"] = (rd["loss_stl"] + rd["loss_diffusion"]
+                          + rd["loss_coll"])
 
     elif cfg.vae:
         noise = jax.random.normal(k_vae, (n, cfg.vae_dim))
@@ -207,7 +224,9 @@ def batch_forward_and_loss(params, key: Array, batch: Dict[str, Array],
         rd["loss_vae_bc"], rd["loss_vae_kl"] = losses.vae_losses(
             nn_controls, dense_controls, latent_stats, dense_scores, valid,
             cfg)
-        rd["loss"] = rd["loss_stl"] + rd["loss_vae_bc"] + rd["loss_vae_kl"]
+        rd["loss_coll"] = coll_loss(nn_controls)
+        rd["loss"] = (rd["loss_stl"] + rd["loss_vae_bc"]
+                      + rd["loss_vae_kl"] + rd["loss_coll"])
 
     elif cfg.bc:
         ext = {"highlevel": highlevel}
@@ -217,7 +236,8 @@ def batch_forward_and_loss(params, key: Array, batch: Dict[str, Array],
                                           cfg.stl_weight)
         rd["loss_bc"] = losses.bc_mse(nn_controls, dense_controls,
                                       dense_scores, valid, cfg)
-        rd["loss"] = rd["loss_stl"] + rd["loss_bc"]
+        rd["loss_coll"] = coll_loss(nn_controls)
+        rd["loss"] = rd["loss_stl"] + rd["loss_bc"] + rd["loss_coll"]
     else:
         raise NotImplementedError("mode")
 
