@@ -476,4 +476,34 @@ def train(cfg: Config, ds: SceneDataset, mesh=None, log=print,
         if cfg.exp_name and (epi % cfg.save_freq == 0 or epi == n_epochs - 1):
             save_checkpoint(os.path.join("exps", cfg.exp_name, "models"),
                             state, epi)
+        if (cfg.exp_name and not cfg.no_viz
+                and (epi % cfg.viz_freq == 0 or epi == n_epochs - 1)):
+            _viz_epoch(cfg, ds, epi)
     return state
+
+
+def _viz_epoch(cfg: Config, ds: SceneDataset, epi: int):
+    """Per-epoch scene plots (nusc_train.py:1598-1631 behavior): GT + the
+    trajopt candidate fan for the first val scenes."""
+    try:
+        from pstl_tpu import viz
+        from pstl_tpu.ops import dynamics as dyn_
+        batch = next(batch_iterator(ds, "val", min(cfg.num_viz,
+                                                   ds.split_len("val")),
+                                    shuffle=False, drop_last=False))
+        bs = batch["ego_traj"].shape[0]
+        states = jnp.asarray(batch["ego_traj"][:, 0, :4])
+        params_col = jnp.asarray(batch["params"])
+        dense_states = jnp.broadcast_to(
+            states[:, None, None], (bs, cfg.n_randoms, 3, 4))
+        trajs = np.asarray(dyn_.rollout(dense_states, params_col, cfg.dt))
+        scores = batch.get("tj_scores_prior")
+        for i in range(min(bs, cfg.num_viz)):
+            viz.save_scene(
+                os.path.join("exps", cfg.exp_name, "viz",
+                             f"epoch{epi:04d}_scene{i:02d}.png"),
+                batch, i, cand_trajs=trajs[i],
+                cand_scores=(scores[i] if scores is not None else None),
+                title=f"epoch {epi} scene {i}")
+    except Exception as e:   # viz must never kill training
+        print(f"[viz] skipped: {e}")
