@@ -44,6 +44,10 @@ def main():
                  flex=True).finalize().with_(epochs=1, test=True)
     if os.environ.get("BENCH_PALLAS"):
         cfg = cfg.with_(use_pallas_clearance=True)
+    if os.environ.get("BENCH_SAMPLER"):
+        cfg = cfg.with_(sampler=os.environ["BENCH_SAMPLER"],
+                        ddim_steps=int(os.environ.get("BENCH_DDIM_STEPS",
+                                                      "20")))
 
     bs = int(os.environ.get("BENCH_SCENES", "16"))
     max_steps = int(os.environ.get("BENCH_STEPS", "8"))

@@ -11,6 +11,10 @@ Parity target: ``run_sampling_test`` (nusc_train.py:890-1183).  Per batch:
 
 All metric math runs on device (pstl_tpu.metrics); only meter accumulation
 is host-side.
+
+Table-I column mapping: "Success" = scene_acc (best-of-M per scene &
+maneuver), "Compliance" = acc (per-candidate satisfaction), "Valid area" =
+the occupancy-area measure over satisfying candidates, "Entropy" = ent_s.
 """
 
 from __future__ import annotations

@@ -41,7 +41,10 @@ Array = jax.Array
 
 LANE_OFFSET = 3.5
 D_SAFE = 0.1           # collision threshold (nusc_sim.py:113)
-CORRIDOR_HALF = 2.5    # analytic drivable half-width per valid lane
+# analytic drivable half-width per valid lane; the reference checks the
+# map's road-wide drivable_area layer, which extends beyond lane centers —
+# 3.25 m covers a lane plus shoulder (and the aggressive stlp's dmin=-3 band)
+CORRIDOR_HALF = 3.25
 
 # fixed aggressive stlp override (nusc_sim.py:466-472)
 AGGRESSIVE_STLP = np.array([1.0, 9.0, -3.0, 2.0, 0.1, 0.2], np.float32)
@@ -457,10 +460,13 @@ def run_closed_loop_host(key: Array, scenes: SceneTensors, cfg: Config,
                                              formulas, coeffs,
                                              with_info=record,
                                              stlp_override=stlp_override)
+    import time as _time
     c = init_carry(key)
     bs = scenes.ego_full.shape[0]
-    hist = {"ego": [np.asarray(c.ego)], "plan": [], "area": []}
+    hist = {"ego": [np.asarray(c.ego)], "plan": [], "area": [],
+            "step_s": []}
     for si in range(max_steps):
+        _t0 = _time.time()
         if record:
             c, info = step(c)
             hist["ego"].append(np.asarray(c.ego))
@@ -476,6 +482,8 @@ def run_closed_loop_host(key: Array, scenes: SceneTensors, cfg: Config,
             hist["area"].append(float(area))
         else:
             c = step(c)
+        jax.block_until_ready(c.ego)
+        hist["step_s"].append(_time.time() - _t0)
         if bool(c.done.all()):
             break
     out = _carry_metrics(c)

@@ -58,12 +58,11 @@ def main():
     state = train.init_state(cfg, net, sample, jax.random.PRNGKey(0))
     state = train.load_params_only(ckpt, state)
 
-    t0 = time.time()
     out = sim.run_closed_loop_host(
         jax.random.PRNGKey(0), scenes, cfg, net, state.params, formulas,
         coeffs, max_steps=36, record=True)
-    wall = time.time() - t0
-    steps = float(np.sum(np.asarray(out["traj_len"])))
+    # steady-state batched plan time (first step carries the compile)
+    step_s = out["history"]["step_s"][1:] or out["history"]["step_s"]
     result = {
         "variant": "ours_guidance" if guidance else "ours",
         "compliance": round(float(out["stl_acc"].mean()), 4),
@@ -72,8 +71,10 @@ def main():
         "collision": round(float(out["collide"].mean()), 4),
         "out_of_lane": round(float(out["out_of_lane"].mean()), 4),
         "mean_traj_len": round(float(out["traj_len"].mean()), 2),
-        "plan_s_per_step": round(wall / max(steps / N_TEST_SCENES, 1), 4),
-        "scenes": N_TEST_SCENES,
+        "plan_s_per_step_batch": round(float(np.median(step_s)), 4),
+        "agent_steps_per_sec": round(
+            len(keep) / float(np.median(step_s)), 2),
+        "scenes": int(len(keep)),
     }
     print(json.dumps(result))
 
