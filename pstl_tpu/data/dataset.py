@@ -75,6 +75,24 @@ class SceneDataset:
     def gather(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         return {k: v[idx] for k, v in self.data.items()}
 
+    def save_split(self, path: str):
+        """Persist the train/val index split as text (one ``split index``
+        line per scene) — the equivalent of the reference's
+        ``data/*_split.txt`` files (nusc_gen_data_split.py)."""
+        with open(path, "w") as f:
+            for split, idx in self.splits.items():
+                for i in idx:
+                    f.write(f"{split} {int(i)}\n")
+
+    def load_split(self, path: str):
+        import collections
+        d = collections.defaultdict(list)
+        with open(path) as f:
+            for line in f:
+                split, i = line.split()
+                d[split].append(int(i))
+        self.splits = {k: np.asarray(v) for k, v in d.items()}
+
     def ensure_random_params(self, seed: int = 0):
         """Default random control seeds when no trajopt params exist
         (nusc_dataset.py:215-218): w ~ 0.1*U(-w_max, w_max), a ~ U(-a_max, a_max)."""

@@ -162,6 +162,9 @@ def _sample_and_score(params, key, batch, cfg: Config, net: Net, formulas,
     nn.update({f"ent_{k}": v for k, v in extra.items()
                if k.startswith("ent")})
     nn["area"] = extra["area"]
+    nn.update(metrics.label_score_breakdown(
+        scores.reshape(bs, S, 3), batch["gt_high_level"][:, 0],
+        valid.reshape(bs, S, 3)))
     return tj, nn
 
 

@@ -200,6 +200,37 @@ def measure_extra_diversity(trajs: Array, scores: Array, valids: Array,
             "ent_wa": jnp.mean(ent_w) + jnp.mean(ent_a), "area": area}
 
 
+def label_score_breakdown(scores: Array, gt_labels: Array,
+                          valids: Array) -> Dict[str, Array]:
+    """In-label / out-label satisfaction rates per maneuver
+    (``evaluate_all_scores`` + ``print_all_scores``,
+    nusc_train.py:347-368, 762-773) — vectorized instead of the reference's
+    per-sample Python loops.
+
+    scores/valids: (bs, M, 3); gt_labels: (bs,).  Outliers (label 3) are
+    excluded entirely, like the reference.
+    """
+    bs, M, _ = scores.shape
+    lab = gt_labels.reshape(bs, 1, 1)
+    not_outlier = (gt_labels < 3).reshape(bs, 1, 1).astype(scores.dtype)
+    mode = jnp.arange(3).reshape(1, 1, 3).astype(lab.dtype)
+    in_mask = (mode == lab).astype(scores.dtype) * valids * not_outlier
+    out_mask = (mode != lab).astype(scores.dtype) * valids * not_outlier
+    sat = (scores > 0).astype(scores.dtype)
+
+    def mm(m, axis=None):
+        return (jnp.sum(sat * m, axis=axis)
+                / jnp.maximum(jnp.sum(m, axis=axis), 1.0))
+
+    out = {"in_label_acc": mm(in_mask), "out_label_acc": mm(out_mask)}
+    per_in = mm(in_mask, axis=(0, 1))
+    per_out = mm(out_mask, axis=(0, 1))
+    for i, name in enumerate(("curr", "left", "right")):
+        out[f"in_label_{name}_acc"] = per_in[i]
+        out[f"out_label_{name}_acc"] = per_out[i]
+    return out
+
+
 def ade_fde(gt_trajs: Array, est_trajs: Array, mask: Array
             ) -> Tuple[Array, Array]:
     """min-ADE / min-FDE over candidates (nusc_train.py:877-887).

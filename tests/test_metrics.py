@@ -127,3 +127,21 @@ def test_measure_extra_diversity_bundle():
                                           controls, -0.5, 0.5, -5, 5)
     for k in ("ent_s", "ent_w", "ent_a", "ent_wa", "area"):
         assert np.isfinite(float(out[k])), k
+
+
+def test_label_score_breakdown():
+    # bs=2, M=2: scene0 label=0, scene1 label=3 (excluded)
+    scores = jnp.asarray(np.array([
+        [[1.0, -1.0, 1.0], [1.0, -1.0, -1.0]],   # scene 0
+        [[1.0, 1.0, 1.0], [1.0, 1.0, 1.0]],      # scene 1 (outlier)
+    ], np.float32))
+    valids = jnp.ones((2, 2, 3))
+    labels = jnp.asarray([0.0, 3.0])
+    out = metrics.label_score_breakdown(scores, labels, valids)
+    # in-label: scene0 mode0 -> both satisfy -> 1.0
+    np.testing.assert_allclose(float(out["in_label_acc"]), 1.0)
+    # out-label: scene0 modes 1,2 -> sat [F, T], [F, F] -> 1/4
+    np.testing.assert_allclose(float(out["out_label_acc"]), 0.25)
+    np.testing.assert_allclose(float(out["in_label_curr_acc"]), 1.0)
+    np.testing.assert_allclose(float(out["out_label_left_acc"]), 0.0)
+    np.testing.assert_allclose(float(out["out_label_right_acc"]), 0.5)

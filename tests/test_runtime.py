@@ -82,3 +82,17 @@ def test_prefetch_reuse(store):
         assert len(bs) == 2
         np.testing.assert_array_equal(bs[0]["ego_traj"],
                                       data["ego_traj"][:32])
+
+
+def test_split_file_roundtrip(tmp_path):
+    from pstl_tpu.config import Config
+    from pstl_tpu.data.dataset import SceneDataset
+    cfg = Config(n_randoms=2, n_neighbors=2)
+    ds = SceneDataset.from_synthetic(cfg, n_scenes=10)
+    p = str(tmp_path / "split.txt")
+    ds.save_split(p)
+    old = {k: v.copy() for k, v in ds.splits.items()}
+    ds.splits = {}
+    ds.load_split(p)
+    for k in old:
+        np.testing.assert_array_equal(ds.splits[k], old[k])
