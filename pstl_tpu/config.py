@@ -155,6 +155,17 @@ class Config:
     raw_refinement: bool = False
     lite_refine: bool = False
     backup: bool = False
+    # Closed-loop selection shield (beyond-reference): penalize candidates
+    # whose rollout speed goes negative by the reversal depth — "reversing
+    # by braking past zero" is a unicycle-integrator artifact that puts the
+    # policy out of distribution.  Off = reference behavior.
+    forward_shield: bool = True
+    # Environment realism (beyond-reference): the executed sim step clamps
+    # speed at zero — a braking car stops, it does not reverse.  The
+    # reference's raw Euler env can reverse (nusc_sim.py:118) but its
+    # curated scenes never trigger it; denser synthetic traffic does, and
+    # the resulting v<0 states are out-of-distribution for the policy.
+    env_nonnegative_speed: bool = True
     test_scenes: bool = False
     test_aggressive: bool = False
 

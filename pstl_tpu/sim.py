@@ -216,6 +216,14 @@ def make_planner(cfg: Config, net: Net, params, formulas,
         scores, acc, trajs = score_controls(controls)
         # lane-keep only + argmax robustness (nusc_sim.py:677-683)
         scores3 = scores.reshape(bs, M, 3)
+        if cfg.forward_shield:
+            # graded reversal penalty (see Config docstring): at low speeds
+            # EVERY sampled candidate may dip below v=0 somewhere in the
+            # horizon, so a uniform penalty would cancel out — penalizing by
+            # reversal depth picks the least-reversing candidate and keeps
+            # the executed speed recoverable
+            min_v = jnp.min(trajs[..., 3], axis=-1).reshape(bs, M, 3)
+            scores3 = scores3 - jnp.maximum(-min_v, 0.0) * 1e3
         keep_scores = jnp.where(
             jnp.arange(3)[None, None, :] == 0, scores3, -10000.0)
         flat = keep_scores.reshape(bs, M * 3)
@@ -282,6 +290,8 @@ def env_step(scene: SceneTensors, ego_state: Array, t: Array, u: Array,
     """One Euler step + collision / out-of-lane checks for one scene
     (nusc_sim.py:108-227).  Unbatched; callers vmap."""
     new_state = ego_state + dyn.dynamics(ego_state, u) * cfg.dt
+    if cfg.env_nonnegative_speed:
+        new_state = new_state.at[3].set(jnp.maximum(new_state[3], 0.0))
     nei_next = jax.lax.dynamic_index_in_dim(scene.nei_full, t + 1, axis=1,
                                             keepdims=False)   # (K, 7)
     clear = geom.car_clearance(new_state[None, :3], cfg.ego_L, cfg.ego_W,
