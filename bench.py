@@ -79,7 +79,10 @@ def main():
         return net.init(key, dense0, ext0, method=Net.init_all)
 
     params = init_params(jax.random.PRNGKey(1))
-    ckpt = os.environ.get("BENCH_CKPT")
+    default_ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "checkpoints", "e7_round1")
+    ckpt = os.environ.get("BENCH_CKPT") or (
+        default_ckpt if os.path.isdir(default_ckpt) else None)
     if ckpt:
         from pstl_tpu import train as _train
         state = _train.TrainState(params, None, 0)

@@ -381,10 +381,19 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int):
         f.write(path)
 
 
+def _resolve_ckpt(ckpt_dir: str) -> str:
+    last = os.path.join(ckpt_dir, "LAST")
+    if not os.path.exists(last):
+        return os.path.abspath(ckpt_dir)
+    path = open(last).read().strip()
+    if not os.path.exists(path):   # repo moved: resolve relative to dir
+        path = os.path.join(ckpt_dir, os.path.basename(path))
+    return os.path.abspath(path)
+
+
 def load_checkpoint(ckpt_dir: str, state: TrainState) -> TrainState:
     import orbax.checkpoint as ocp
-    last = os.path.join(ckpt_dir, "LAST")
-    path = open(last).read().strip() if os.path.exists(last) else ckpt_dir
+    path = _resolve_ckpt(ckpt_dir)
     with ocp.StandardCheckpointer() as ckptr:
         target = {"params": state.params, "opt_state": state.opt_state,
                   "step": np.asarray(state.step)}
@@ -397,8 +406,7 @@ def load_params_only(ckpt_dir: str, state: TrainState) -> TrainState:
     """Pretrained-weights load, tolerant of a missing RefineNet head
     (reference: strict=not rect_head, nusc_train.py:1215)."""
     import orbax.checkpoint as ocp
-    last = os.path.join(ckpt_dir, "LAST")
-    path = open(last).read().strip() if os.path.exists(last) else ckpt_dir
+    path = _resolve_ckpt(ckpt_dir)
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(path)
     src = restored["params"]["params"]
