@@ -143,13 +143,6 @@ def _bwd_block(ego_xyth, nei, g, ego_L, ego_W, nL):
     return jnp.stack([gx, gy, gth], axis=-1)
 
 
-def _make_pallas_call(fn, out_shape, block_n, n, interpret):
-    """Grid over the leading (candidate) axis in blocks of block_n."""
-    grid = (n // block_n,)
-    return functools.partial(pl.pallas_call, fn, grid=grid,
-                             out_shape=out_shape, interpret=interpret)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def min_clearance(ego_xyth: Array, nei: Array, ego_L: float, ego_W: float,
                   num_L: int = 4, block_n: int = 256,

@@ -1,0 +1,53 @@
+"""Visualization renderers produce files without touching the device."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pstl_tpu import viz
+from pstl_tpu.config import Config
+from pstl_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def scene_np():
+    cfg = Config(n_randoms=2, n_neighbors=2)
+    data = synthetic.generate_dataset(0, 2, cfg, scene_len=12)
+    return cfg, data
+
+
+def test_plot_scene_with_candidates(scene_np, tmp_path):
+    cfg, data = scene_np
+    rng = np.random.RandomState(0)
+    cand = rng.randn(3, 3, cfg.nt, 2).astype(np.float32) * 5
+    cand[..., 0] += data["ego_traj"][0, 0, 0]
+    cand[..., 1] += data["ego_traj"][0, 0, 1]
+    scores = rng.randn(3, 3).astype(np.float32)
+    path = str(tmp_path / "scene.png")
+    viz.save_scene(path, data, 0, cand_trajs=cand, cand_scores=scores,
+                   title="test")
+    assert os.path.getsize(path) > 1000
+
+
+def test_control_histograms(scene_np, tmp_path):
+    cfg, data = scene_np
+    path = str(tmp_path / "hist.png")
+    viz.plot_control_histograms(np.random.randn(100, cfg.nt, 2), path)
+    assert os.path.exists(path)
+
+
+def test_closed_loop_frame_and_gif(scene_np, tmp_path):
+    cfg, data = scene_np
+    frames = []
+    for t in range(2):
+        p = str(tmp_path / f"f{t}.png")
+        viz.render_closed_loop_frame(
+            p, data["scene_center_dense"][0], data["scene_lane_valids"][0],
+            data["scene_ego_full"][0, :t + 2],
+            data["scene_nei_full"][0, :, t],
+            data["scene_ego_full"][0, t:t + 5])
+        frames.append(p)
+    gif = str(tmp_path / "ep.gif")
+    viz.generate_gif(gif, frames)
+    assert os.path.getsize(gif) > 100
