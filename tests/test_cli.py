@@ -44,3 +44,37 @@ def test_data_then_trajopt(tmp_path):
               "--set", "n_randoms=2", "n_neighbors=2", "batch_size=6"])
     with np.load(aug) as f:
         assert "params" in f.files and "tj_scores_prior" in f.files
+
+
+def test_cli_sim_smoke(tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cli.main(["sim", "--scenes", "2", "--scene-len", "8", "--steps", "2",
+              "--set", "n_randoms=2", "n_neighbors=2", "diffusion=true",
+              "diffusion_steps=4", "compute_dtype=float32",
+              "batch_size=2"])
+    out = capsys.readouterr().out
+    assert '"collide"' in out and '"progress"' in out
+
+
+def test_cli_eval_smoke(tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cache = str(tmp_path / "c.npz")
+    cli.main(["data", "--out", cache, "--scenes", "8",
+              "--set", "n_randoms=2", "n_neighbors=2"])
+    cli.main(["eval", "--cache", cache, "--trials", "0",
+              "--set", "n_randoms=2", "n_neighbors=2", "sampling_size=2",
+              "diffusion=true", "diffusion_steps=4",
+              "compute_dtype=float32", "batch_size=4"])
+    out = capsys.readouterr().out
+    assert '"nn_acc"' in out
+
+
+def test_cli_check_smoke(tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cache = str(tmp_path / "c.npz")
+    cli.main(["data", "--out", cache, "--scenes", "8",
+              "--set", "n_randoms=2", "n_neighbors=2"])
+    cli.main(["check", "--cache", cache,
+              "--set", "n_randoms=2", "n_neighbors=2", "batch_size=4"])
+    out = capsys.readouterr().out
+    assert "ACC:" in out
