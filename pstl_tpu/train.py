@@ -72,7 +72,20 @@ def _init_inputs(cfg: Config, batch, key):
     gt = batch["ego_traj"][..., :4]
     stlp = specs.calibrate_stlp(batch, gt, cfg)
     dense = specs.densify_batch(batch, stlp, cfg, key=key)
-    n = gt.shape[0] * cfg.n_randoms * 3
+    bs = gt.shape[0]
+    if cfg.gt_data_training:
+        # mono mode: per-scene ext rows, gt_stlp conditioning
+        n = bs * cfg.n_randoms
+        if cfg.diffusion:
+            ext = {"timestep": jnp.ones((n, 1)),
+                   "highlevel": batch["gt_high_level"],
+                   "noise": jnp.zeros((n, cfg.nt * 2)), "gt_stlp": stlp}
+        else:
+            ext = {"gt_stlp": stlp, "highlevel": batch["gt_high_level"],
+                   "gt_controls": jnp.zeros((bs, cfg.nt, 2)),
+                   "noise": jnp.zeros((n, cfg.vae_dim))}
+        return dense, ext
+    n = bs * cfg.n_randoms * 3
     if cfg.diffusion:
         ext = {"timestep": jnp.ones((n, 1)),
                "highlevel": dense["highlevel_dense"],
@@ -290,7 +303,9 @@ def _mono_forward_and_loss(params, key, batch, cfg, net, formulas, coeffs,
         gt_stlp_mul = jnp.repeat(gt_stlp, M, axis=0)
 
         def apply_fn(e):
-            return net.apply(params, batch, e, prev_feature=None,
+            # reuse the (bs, 224) scene feature across all sampler steps
+            # (the reference computes it once, nusc_train.py:571-578)
+            return net.apply(params, batch, e, prev_feature=feature,
                              n_randoms=M)
 
         controls, _ = diffusion.sample(

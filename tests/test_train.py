@@ -134,3 +134,13 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(state2.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_mono_gt_data_training():
+    """e4 preset path: gt_data_training diffusion (mono branch)."""
+    cfg = tiny_cfg(gt_data_training=True)
+    ds, formulas, coeffs, net, batch, state, opt = setup(cfg)
+    step = train.make_train_step(cfg, net, formulas, coeffs, opt)
+    state, rd = step(state, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(rd["loss"]))
+    assert "loss_diffusion" in rd and "loss_stl" in rd
