@@ -64,29 +64,57 @@ def add_common(p):
 
 
 def load_dataset(cfg: Config, args, scene_len=None):
+    import os
     from pstl_tpu.data.dataset import SceneDataset
-    if args.cache:
-        return SceneDataset.load(args.cache, cfg)
-    return SceneDataset.from_synthetic(cfg, scene_len=scene_len)
+    # --cache beats cfg.cache_path (nusc_train.py:156 find_npz_path)
+    path = args.cache or (cfg.cache_path
+                          if os.path.exists(cfg.cache_path or "") else None)
+    if not cfg.offline and not path:
+        # the TPU build never runs the devkit at train/eval time (SURVEY
+        # §7): live (offline=False) sample assembly exists only in the
+        # collection tool
+        sys.exit("offline=False requires a collected cache: run "
+                 "`python -m pstl_tpu.cli data --out <cache.npz>` first")
+    ds = (SceneDataset.load(path, cfg) if path
+          else SceneDataset.from_synthetic(cfg, scene_len=scene_len))
+    # trajopt sidecar reuse (--params_load_path, nusc_dataset.py:209-232)
+    if (cfg.load_tj and not ds.has("params") and cfg.params_load_path
+            and os.path.exists(cfg.params_load_path)):
+        ds.load_trajopt_sidecar(cfg.params_load_path)
+    return ds
 
 
 def cmd_data(args):
-    cfg = build_config(args)
+    # collection mode coupling (nusc_train.py:1794-1801): offline=False
+    # while the cache is being built
+    cfg = build_config(args).with_(collect_data=True).finalize()
     from pstl_tpu.data.dataset import SceneDataset
-    ds = SceneDataset.from_synthetic(
-        cfg, n_scenes=args.scenes, scene_len=args.scene_len)
+    if args.real or not cfg.synthetic:
+        from pstl_tpu.data import extract
+        out = extract.extract_dataset(cfg, version=args.version,
+                                      dataroot=args.dataroot,
+                                      out_path=args.out)
+        print(f"extracted NuScenes cache -> {out}")
+        return
+    from pstl_tpu.data import synthetic
+    data = synthetic.generate_dataset(cfg.seed, args.scenes, cfg,
+                                      scene_len=args.scene_len,
+                                      t_samples=args.t_samples,
+                                      t_stride=args.t_stride)
+    ds = SceneDataset(data, cfg)
     ds.save(args.out)
-    print(f"wrote {len(ds)} scenes -> {args.out}")
+    print(f"wrote {len(ds)} samples ({args.scenes} scenes) -> {args.out}")
 
 
 def cmd_trajopt(args):
-    cfg = build_config(args).with_(flex=True)
+    cfg = build_config(args).with_(trajopt_only=True).finalize()
     from pstl_tpu import specs, trajopt
     ds = load_dataset(cfg, args)
     formulas = specs.build_scorer(cfg)
     trajopt.augment_dataset(ds, cfg, formulas,
                             batch_size=min(cfg.batch_size, len(ds)),
-                            iters=args.iters)
+                            iters=args.iters,
+                            epochs=max(cfg.opt_epochs, 1))
     ds.save(args.out)
     print(f"augmented {len(ds)} scenes -> {args.out}")
 
@@ -126,13 +154,33 @@ def cmd_eval(args):
 
 def cmd_sim(args):
     cfg = build_config(args).with_(test=True, epochs=1)
+    import numpy as np
     import jax
     import jax.numpy as jnp
     from pstl_tpu import diffusion, sim, specs, train
     from pstl_tpu.data import synthetic
     from pstl_tpu.models import Net
-    data = synthetic.generate_dataset(cfg.seed, args.scenes, cfg,
-                                      scene_len=args.scene_len)
+    stlp_override = None
+    if cfg.test_scenes:
+        # held-out closed-loop protocol (nusc_dataset.py:38-72's curated 25
+        # scenes): a fixed fresh seed never used by training data
+        data = synthetic.generate_dataset(777, max(args.scenes, 25) * 2, cfg,
+                                          scene_len=args.scene_len)
+    else:
+        data = synthetic.generate_dataset(cfg.seed, args.scenes * 2, cfg,
+                                          scene_len=args.scene_len)
+    if not args.no_pre_check:
+        # pre_check: skip slow scenes (mean GT speed < 1, nusc_sim.py:34-39)
+        keep = np.where(data["scene_ego_full"][:, :, 3].mean(-1) >= 1.0)[0]
+    else:
+        keep = np.arange(len(data["scene_ego_full"]))
+    keep = keep[:max(args.scenes, 25) if cfg.test_scenes else args.scenes]
+    data = {k: v[keep] for k, v in data.items()}
+    if cfg.test_aggressive:
+        # --test_aggressive: triple-repeat the first scene under the three
+        # aggressive stlp presets (nusc_sim.py:444-465, scene 781 x3)
+        data = {k: np.repeat(v[:1], 3, axis=0) for k, v in data.items()}
+        stlp_override = sim.TEST_AGGRESSIVE_STLPS
     scenes = sim.scenes_from_dataset(data)
     net = Net(cfg)
     from pstl_tpu.data.dataset import SceneDataset
@@ -153,7 +201,7 @@ def cmd_sim(args):
     out = sim.run_closed_loop_host(
         jax.random.PRNGKey(0), scenes, cfg, net, state.params, formulas,
         coeffs, max_steps=args.steps, record=bool(render_dir) or args.record,
-        render_dir=render_dir)
+        render_dir=render_dir, stlp_override=stlp_override)
     res = {k: (float(v.mean()) if hasattr(v, "mean") else float(v))
            for k, v in out.items() if k != "history"}
     print(json.dumps({k: round(v, 4) for k, v in res.items()}, indent=2))
@@ -225,6 +273,14 @@ def main(argv=None):
     d.add_argument("--out", required=True)
     d.add_argument("--scenes", type=int, default=512)
     d.add_argument("--scene-len", type=int, default=None)
+    d.add_argument("--t-samples", type=int, default=1,
+                   help="samples per scene at strided t0 (reference trains "
+                        "on multiple (scene, t) rows)")
+    d.add_argument("--t-stride", type=int, default=4)
+    d.add_argument("--real", action="store_true",
+                   help="extract from real NuScenes (needs devkit+data)")
+    d.add_argument("--version", default="v1.0-trainval")
+    d.add_argument("--dataroot", default=None)
     d.set_defaults(fn=cmd_data)
 
     t = sub.add_parser("trajopt", help="trajopt data augmentation")
@@ -252,6 +308,8 @@ def main(argv=None):
     si.add_argument("--steps", type=int, default=36)
     si.add_argument("--record", action="store_true",
                     help="record histories + per-step area metric")
+    si.add_argument("--no-pre-check", action="store_true",
+                    help="keep slow scenes (pre_check, nusc_sim.py:34-39)")
     si.add_argument("--render", action="store_true",
                     help="write per-step frames and episode GIFs")
     si.set_defaults(fn=cmd_sim)

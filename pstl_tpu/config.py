@@ -55,7 +55,8 @@ class Config:
     inline: bool = False              # polyline endpoint handling
     norm_stl: bool = False            # normalize clauses by parameter ranges
     flex: bool = False                # widened calibration margins
-    use_gt_stlp: bool = False
+    # NOTE: the reference declares --use_gt_stlp (nusc_train.py:1676) but
+    # never reads it anywhere — dead in the reference, so not carried here.
     stl_nn_thres: float = 0.0005
     stl_trajopt_thres: float = 0.01
 
@@ -174,6 +175,10 @@ class Config:
     mesh_axis_names: Tuple[str, ...] = ("data",)
     compute_dtype: str = "bfloat16"           # network matmul dtype
     robustness_dtype: str = "float32"         # STL robustness dtype
+    # TiledScorer fast path for the canonical dense layout (exact same
+    # scores; per-row formula selection + per-scene constants); False falls
+    # back to ClauseBank over pre-tiled signals
+    tiled_scorer: bool = True
     use_pallas_clearance: bool = False        # fused min-clearance kernel
     time_profile: bool = False
 

@@ -42,20 +42,51 @@ class SceneDataset:
                        n_scenes: Optional[int] = None,
                        scene_len: Optional[int] = None) -> "SceneDataset":
         from pstl_tpu.data import synthetic
+        if n_scenes is None:
+            n_scenes = cfg.n_synth_scenes
+            if cfg.mini:   # v1.0-mini analogue (nusc_api.py:98-99)
+                n_scenes = max(n_scenes // 8, 16)
         return cls(synthetic.generate_dataset(
             seed if seed is not None else cfg.seed,
-            n_scenes if n_scenes is not None else cfg.n_synth_scenes,
-            cfg, scene_len=scene_len), cfg)
+            n_scenes, cfg, scene_len=scene_len), cfg)
 
     @classmethod
     def load(cls, path: str, cfg: Config) -> "SceneDataset":
         with np.load(path, allow_pickle=False) as f:
             data = {k: f[k] for k in f.files}
-        return cls(data, cfg)
+        ds = cls(data, cfg)
+        # persisted split (data/*_split.txt analogue) is authoritative unless
+        # --generate_split_on_the_fly (nusc_dataset.py:22)
+        split_path = path + ".split.txt"
+        if not cfg.generate_split_on_the_fly and os.path.exists(split_path):
+            ds.load_split(split_path)
+        return ds
 
     def save(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         np.savez_compressed(path, **self.data)
+        self.save_split(path + ".split.txt")
+
+    TRAJOPT_COLUMNS = ("params", "params_init", "pre_stlp",
+                       "tj_scores_prior")
+
+    def load_trajopt_sidecar(self, path: str):
+        """Attach trajopt columns from another store (``--params_load_path``,
+        nusc_dataset.py:209-232): reuse an augmentation run's params / stlp /
+        scores with a dataset that lacks them.  Resamples the seed axis M ->
+        n_randoms on mismatch (nusc_dataset.py:233-240)."""
+        with np.load(path, allow_pickle=False) as f:
+            for k in self.TRAJOPT_COLUMNS:
+                if k not in f.files:
+                    continue
+                v = f[k]
+                assert v.shape[0] == self.n, (k, v.shape, self.n)
+                M = v.shape[1]
+                if M != self.cfg.n_randoms:
+                    rng = np.random.RandomState(0)
+                    idx = rng.randint(0, M, self.cfg.n_randoms)
+                    v = v[:, idx]
+                self.data[k] = v
 
     # ------------------------------------------------------------------
     def __len__(self):

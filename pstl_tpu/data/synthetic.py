@@ -93,9 +93,18 @@ def _rollout_np(s0, us, dt):
 
 
 def generate_scene(rng: np.random.RandomState, cfg: Config,
-                   scene_len: Optional[int] = None) -> Dict[str, np.ndarray]:
+                   scene_len: Optional[int] = None,
+                   t_samples: int = 1,
+                   t_stride: int = 4):
     """One scene.  With ``scene_len`` > nt, also emits full-length tensors
-    for the closed-loop simulator (ego GT, neighbor tracks, per-t lanes)."""
+    for the closed-loop simulator (ego GT, neighbor tracks, per-t lanes).
+
+    ``t_samples`` > 1 additionally emits samples at t0 = 0, t_stride,
+    2*t_stride, ... (the reference trains on multiple (scene, t) samples
+    per scene — 11,763 scene-x-time rows, nusc_gen_data_split.py); each
+    later sample re-windows the lanes around the ego pose at its t0 and
+    re-labels the maneuver from the remaining lateral trend.  Returns a
+    LIST of sample dicts when t_samples > 1, else a single dict."""
     nt, dt, k = cfg.nt, cfg.dt, cfg.n_neighbors
     L = scene_len or nt
     full_len = L + nt + 1          # pad so every t has an nt-step future
@@ -186,11 +195,23 @@ def generate_scene(rng: np.random.RandomState, cfg: Config,
         idx = np.clip(i0 + np.arange(n_segs) * step, 0, n_dense - 1)
         return lane_full_pts[idx]
 
-    sample = make_observation(cfg, ego_full, nei_full, lanes_full,
-                              left_valid, right_valid, hl, t0=0,
-                              lane_window_fn=lane_window)
-    sample["uturn_status"] = np.array([-1.0], np.float32)
+    def build_sample(t0):
+        s = make_observation(cfg, ego_full, nei_full, lanes_full,
+                             left_valid, right_valid, hl, t0=t0,
+                             lane_window_fn=lane_window)
+        if t0 > 0:
+            # re-label from the remaining lateral trend (the scripted
+            # maneuver may already be over at a later t0)
+            from pstl_tpu.data.extract import label_high_level
+            hl_t = label_high_level(ego_full[t0:t0 + nt],
+                                    s["currlane_wpts"])
+            if hl == 3:
+                hl_t = 3 if hl_t == 3 or t0 < nt else hl_t
+            s["gt_high_level"] = np.array([float(hl_t)], np.float32)
+        s["uturn_status"] = np.array([-1.0], np.float32)
+        return s
 
+    sample = build_sample(0)
     if scene_len is not None:
         sample["scene_ego_full"] = ego_full.astype(np.float32)
         sample["scene_nei_full"] = nei_full.astype(np.float32)
@@ -206,7 +227,15 @@ def generate_scene(rng: np.random.RandomState, cfg: Config,
         sample["scene_center_dense"] = center.astype(np.float32)
         sample["scene_lane_valids"] = np.array(
             [1.0, float(left_valid), float(right_valid)], np.float32)
-    return sample
+    if t_samples <= 1:
+        return sample
+    samples = [sample]
+    for si in range(1, t_samples):
+        t0 = si * t_stride
+        if t0 + nt > full_len:
+            break
+        samples.append(build_sample(t0))
+    return samples
 
 
 def make_observation(cfg: Config, ego_full, nei_full, lanes_full,
@@ -239,13 +268,25 @@ def make_observation(cfg: Config, ego_full, nei_full, lanes_full,
 
 
 def generate_dataset(seed: int, n_scenes: int, cfg: Config,
-                     scene_len: Optional[int] = None) -> Dict[str, np.ndarray]:
-    """Stacked dataset dict (leading axis = scene index)."""
+                     scene_len: Optional[int] = None,
+                     t_samples: int = 1,
+                     t_stride: int = 4) -> Dict[str, np.ndarray]:
+    """Stacked dataset dict (leading axis = sample index; with
+    ``t_samples`` > 1 each scene contributes several (scene, t) samples —
+    the reference's split-file expansion, nusc_gen_data_split.py)."""
     rng = np.random.RandomState(seed)
     samples = []
     for i in range(n_scenes):
-        s = generate_scene(rng, cfg, scene_len=scene_len)
-        s["traj_i"] = np.array(i, np.int64)
-        s["ti"] = np.array(0, np.int64)
-        samples.append(s)
+        out = generate_scene(rng, cfg, scene_len=scene_len,
+                             t_samples=t_samples, t_stride=t_stride)
+        scene_samples = out if isinstance(out, list) else [out]
+        for ti_idx, s in enumerate(scene_samples):
+            s["traj_i"] = np.array(i, np.int64)
+            s["ti"] = np.array(ti_idx * t_stride, np.int64)
+            # scene_* tensors live only on the t=0 sample; later samples
+            # repeat them so the stacked store stays rectangular
+            for k in scene_samples[0]:
+                if k.startswith("scene_") and k not in s:
+                    s[k] = scene_samples[0][k]
+            samples.append(s)
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}

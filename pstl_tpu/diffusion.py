@@ -122,28 +122,31 @@ def _trigger_schedule(cfg: Config) -> np.ndarray:
     return trig
 
 
+def make_guidance_ctx(score_rows: Callable, valid: Array,
+                      states_flat: Array):
+    """Context consumed by the in-sampler guidance: a per-row robustness
+    function (specs.make_score_rows), the validity mask, and the dense
+    initial states."""
+    return (score_rows, valid, states_flat)
+
+
 def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
                    maximize: bool) -> Array:
     """Inner gradient ascent on STL robustness (nusc_train.py:599-627).
 
-    mu: (N, nt*2) normalized posterior mean.  ctx = (signal_input dict,
-    highlevel (N,1), states_flat (N,4), formulas).  Runs
-    ``cfg.guidance_niters`` Adam steps on a copy of mu, then applies the
-    reference's clamp: delta = clip(|mu'-mu|, beta_t) added positively
-    (quirk) or the signed variant when the quirk flag is off.
+    mu: (N, nt*2) normalized posterior mean.  ctx from
+    :func:`make_guidance_ctx`.  Runs ``cfg.guidance_niters`` Adam steps on a
+    copy of mu, then applies the reference's clamp: delta =
+    clip(|mu'-mu|, beta_t) added positively (quirk) or the signed variant
+    when the quirk flag is off.
     """
-    signal_base, highlevel, states_flat, formulas = ctx
-    N = states_flat.shape[0]
+    score_rows, valid, states_flat = ctx
     thres = 100.0 if maximize else cfg.stl_nn_thres
-    valid = signal_base["dense_valids"].reshape(-1)
 
     def loss_fn(mu_flat):
         u = denormalize_controls(mu_flat, cfg, clip=False)
         trajs = dyn.rollout(states_flat, u, cfg.dt)
-        sig = dict(signal_base)
-        sig["ego_traj"] = trajs[:, :-1]
-        _, scores, _ = specs.compute_scores(sig, formulas, highlevel,
-                                            valid, cfg)
+        scores = score_rows(trajs[:, :-1])
         return specs.mask_mean(jax.nn.relu(thres - scores), valid)
 
     grad_fn = jax.grad(loss_fn)
@@ -223,10 +226,15 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
                     lambda m: m, mu)
         z = jnp.where(t_scalar > 1, jax.random.normal(k_z, x.shape), 0.0)
         x_next = mu + jnp.sqrt(beta) * z
-        return (x_next, k), x_next
+        return (x_next, k), (x_next if cfg.diff_full else None)
 
     ts = jnp.arange(T - 1, 0, -1)
-    (_, _), xs_hist = jax.lax.scan(step, (x0, k_loop), (ts, trig))
+    (x_last, _), xs_hist = jax.lax.scan(step, (x0, k_loop), (ts, trig))
+    if not cfg.diff_full:
+        # --diff_full off (reference keeps only the final decode,
+        # nusc_train.py:630): nothing stacked, all_steps is just the result
+        final = denormalize_controls(x_last, cfg)
+        return final, final[None]
     # denormalized per-step decodings incl. the initial noise, excl. dup of
     # the final step: [x0, x_1, ..., x_{T-1}] -> T entries (reference's
     # final_list, nusc_train.py:632-634)
@@ -280,11 +288,14 @@ def reverse_sample_ddim(key: Array, apply_fn: Callable,
             mu = _guidance_step(mu, beta, guidance_ctx, cfg, maximize)
         z = jnp.where(t_next > 0, jax.random.normal(k_z, x.shape), 0.0)
         x_next = mu + sigma * z
-        return (x_next, k), x_next
+        return (x_next, k), (x_next if cfg.diff_full else None)
 
-    (_, _), xs_hist = jax.lax.scan(step, (x0, k_loop),
-                                   (jnp.asarray(taus),
-                                    jnp.asarray(taus_next)))
+    (x_last, _), xs_hist = jax.lax.scan(step, (x0, k_loop),
+                                        (jnp.asarray(taus),
+                                         jnp.asarray(taus_next)))
+    if not cfg.diff_full:
+        final = denormalize_controls(x_last, cfg)
+        return final, final[None]
     full = jnp.concatenate([x0[None], xs_hist], axis=0)
     all_steps = jax.vmap(lambda v: denormalize_controls(v, cfg))(full)
     return all_steps[-1], all_steps
@@ -299,8 +310,7 @@ def sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
 
 
 def select_multi_cands(all_steps: Array, k: int, states_flat: Array,
-                       signal_base: Dict[str, Array], highlevel: Array,
-                       formulas, cfg: Config):
+                       score_rows: Callable, cfg: Config):
     """Score the last k intermediate decodings under STL and take the
     per-sample argmax (nusc_train.py:993-1024).
 
@@ -308,15 +318,10 @@ def select_multi_cands(all_steps: Array, k: int, states_flat: Array,
     best_scores (n,)).
     """
     cands = all_steps[-k:]                                  # (k, n, nt, 2)
-    valid = signal_base["dense_valids"].reshape(-1)
 
     def score_one(u):
         trajs = dyn.rollout(states_flat, u, cfg.dt)
-        sig = dict(signal_base)
-        sig["ego_traj"] = trajs[:, :-1]
-        _, scores, _ = specs.compute_scores(sig, formulas, highlevel, valid,
-                                            cfg)
-        return scores
+        return score_rows(trajs[:, :-1])
 
     scores = jax.vmap(score_one)(cands)                     # (k, n)
     best_i = jnp.argmax(scores, axis=0)                     # (n,)

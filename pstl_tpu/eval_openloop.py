@@ -36,24 +36,26 @@ from pstl_tpu.utils.meters import MeterDict
 Array = jax.Array
 
 
-def _sample_and_score(params, key, batch, cfg: Config, net: Net, formulas,
-                      coeffs):
-    """Jittable: model sampling pipeline + all metric tensors for one batch."""
-    S = cfg.sampling_size
-    batch = dict(batch)
-    batch["neighbor_trajs_aug"] = batch["neighbors_traj"]
-    batch["neighbors"] = batch["neighbors_traj"][:, :, 0, :]
+def _prep_batch(batch, cfg: Config):
+    from pstl_tpu.train import attach_neighbors
+    return attach_neighbors(batch, cfg)
+
+
+def _trajopt_row(params, key, batch, cfg: Config, net: Net, formulas,
+                 coeffs):
+    """Jittable: the trajopt oracle row of Table I (nusc_train.py:926-944).
+
+    Lives OUTSIDE the timed region, like the reference (the timer starts at
+    nusc_train.py:957 after this row is done)."""
+    batch = _prep_batch(batch, cfg)
     gt_trajs = batch["ego_traj"][..., :4]
     states = gt_trajs[:, 0, :4]
     bs = states.shape[0]
-    k_dense, k_dense2, k_sample = jax.random.split(key, 3)
-
+    k_dense, _, _ = jax.random.split(key, 3)   # same stream as the timed fn
     gt_stlp = specs.calibrate_stlp(batch, gt_trajs, cfg)
-
-    # ---- trajopt reference row (nusc_train.py:926-944) -----------------
     n_tj = bs * cfg.n_randoms * 3
     dense_tj = specs.densify_batch(batch, gt_stlp, cfg, key=k_dense)
-    sig_tj = specs.dense_signal_input(dense_tj)
+    sig_tj = specs.dense_signal_input(dense_tj, cfg=cfg)
     valid_tj = dense_tj["valids_dense"].reshape(-1)
     states_tj = jnp.broadcast_to(states[:, None, None],
                                  (bs, cfg.n_randoms, 3, 4)).reshape(n_tj, 4)
@@ -73,32 +75,55 @@ def _sample_and_score(params, key, batch, cfg: Config, net: Net, formulas,
     tj["ade"], tj["fde"] = metrics.ade_fde(
         gt_trajs, tj_trajs[:, :-1].reshape(bs, cfg.n_randoms, 3, cfg.nt, 4),
         valid_tj.reshape(bs, -1))
-    tj_extra = metrics.measure_extra_diversity(
-        tj_trajs[:, :-1].reshape(bs, cfg.n_randoms, 3, cfg.nt * 4),
-        tj_scores.reshape(bs, cfg.n_randoms, 3),
-        valid_tj.reshape(bs, cfg.n_randoms, 3), cfg.nt,
-        tj_controls.reshape(bs, cfg.n_randoms, 3, cfg.nt * 2),
-        -cfg.mul_w_max, cfg.mul_w_max, -cfg.mul_a_max, cfg.mul_a_max)
-    tj.update({f"ent_{k}": v for k, v in tj_extra.items()
-               if k.startswith("ent")})
-    tj["area"] = tj_extra["area"]
+    if cfg.extra_diversity:
+        tj_extra = metrics.measure_extra_diversity(
+            tj_trajs[:, :-1].reshape(bs, cfg.n_randoms, 3, cfg.nt * 4),
+            tj_scores.reshape(bs, cfg.n_randoms, 3),
+            valid_tj.reshape(bs, cfg.n_randoms, 3), cfg.nt,
+            tj_controls.reshape(bs, cfg.n_randoms, 3, cfg.nt * 2),
+            -cfg.mul_w_max, cfg.mul_w_max, -cfg.mul_a_max, cfg.mul_a_max)
+        tj.update({f"ent_{k}": v for k, v in tj_extra.items()
+                   if k.startswith("ent")})
+        tj["area"] = tj_extra["area"]
+    return tj
+
+
+def _sample_and_score(params, key, batch, cfg: Config, net: Net, formulas,
+                      coeffs):
+    """Jittable TIMED region (nusc_train.py:957-1105): dense sampling batch,
+    generative sampling (+ guidance), multi-cands, RefineNet + n_rolls,
+    optional refinement, final rollout and STL scoring.  Diversity/ADE
+    metrics live in :func:`_nn_metrics` outside the timer, mirroring
+    tttt1/tttt2 in the reference."""
+    S = cfg.sampling_size
+    batch = _prep_batch(batch, cfg)
+    gt_trajs = batch["ego_traj"][..., :4]
+    states = gt_trajs[:, 0, :4]
+    bs = states.shape[0]
+    _, k_dense2, k_sample = jax.random.split(key, 3)
+    gt_stlp = specs.calibrate_stlp(batch, gt_trajs, cfg)
 
     # ---- model sampling row (nusc_train.py:958-1101) -------------------
     N = bs * S * 3
     dense = specs.densify_batch(batch, gt_stlp, cfg, key=k_dense2,
                                 n_randoms=S)
-    signal_base = specs.dense_signal_input(dense)
     valid = dense["valids_dense"].reshape(-1)
     highlevel = dense["highlevel_dense"]
     states_flat = jnp.broadcast_to(states[:, None, None],
                                    (bs, S, 3, 4)).reshape(N, 4)
 
+    score_rows = specs.make_score_rows(batch, dense, cfg, formulas,
+                                       n_randoms=S)
+
     def score_controls(u):
         trajs = dyn.rollout(states_flat, u, cfg.dt)
-        sig = dict(signal_base)
-        sig["ego_traj"] = trajs[:, :-1]
-        return specs.compute_scores(sig, formulas, highlevel, valid, cfg,
-                                    scene=True, n_group=S), trajs
+        s = score_rows(trajs[:, :-1])
+        acc = specs.mask_mean((s > 0).astype(s.dtype), valid)
+        sc = s.reshape(-1, S, 3)
+        mc = valid.reshape(-1, S, 3)
+        scene_acc = specs.mask_mean((jnp.max(sc, axis=1) > 0).astype(s.dtype),
+                                    mc[:, 0, :])
+        return (None, s, acc, scene_acc), trajs
 
     if cfg.diffusion:
         ext0 = {"timestep": jnp.ones((N, 1)), "highlevel": highlevel,
@@ -110,7 +135,8 @@ def _sample_and_score(params, key, batch, cfg: Config, net: Net, formulas,
             return net.apply(params, dense, e, prev_feature=feature,
                              n_randoms=S)
 
-        guidance_ctx = ((signal_base, highlevel, states_flat, formulas)
+        guidance_ctx = (diffusion.make_guidance_ctx(score_rows, valid,
+                                                    states_flat)
                         if cfg.guidance else None)
         nn_controls, all_steps = diffusion.sample(
             k_sample, apply_fn, dense, highlevel, feature, cfg, coeffs, N,
@@ -118,8 +144,7 @@ def _sample_and_score(params, key, batch, cfg: Config, net: Net, formulas,
         if cfg.rect_head and not cfg.not_use_rect:
             if cfg.multi_cands is not None:
                 nn_controls, prev_scores = diffusion.select_multi_cands(
-                    all_steps, cfg.multi_cands, states_flat, signal_base,
-                    highlevel, formulas, cfg)
+                    all_steps, cfg.multi_cands, states_flat, score_rows, cfg)
             else:
                 (_, prev_scores, _, _), _ = score_controls(nn_controls)
             if not cfg.no_refinenet:
@@ -135,8 +160,8 @@ def _sample_and_score(params, key, batch, cfg: Config, net: Net, formulas,
             if cfg.refinement:
                 from pstl_tpu import refine
                 nn_controls = refine.convex_refinement(
-                    nn_controls, all_steps, states_flat, signal_base,
-                    highlevel, formulas, cfg)
+                    nn_controls, all_steps, states_flat, score_rows, valid,
+                    cfg)
     elif cfg.vae:
         ext = {"highlevel": highlevel}
         z = jax.random.normal(k_sample, (N, cfg.vae_dim))
@@ -147,6 +172,18 @@ def _sample_and_score(params, key, batch, cfg: Config, net: Net, formulas,
 
     (_, scores, acc, scene_acc), nn_trajs = score_controls(nn_controls)
     nn = {"acc": acc, "scene_acc": scene_acc, "scores": scores}
+    return nn, nn_controls, nn_trajs, valid
+
+
+def _nn_metrics(nn, nn_controls, nn_trajs, valid, batch, cfg: Config):
+    """Jittable UNTIMED metric tail (nusc_train.py:1107-1131): diversity,
+    ADE/FDE, entropy/area, label breakdown."""
+    S = cfg.sampling_size
+    batch = _prep_batch(batch, cfg)
+    gt_trajs = batch["ego_traj"][..., :4]
+    bs = gt_trajs.shape[0]
+    scores = nn["scores"]
+    nn = dict(nn)
     div = metrics.measure_diversity(
         nn_trajs[:, :-1, :2].reshape(bs, S, 3, cfg.nt * 2),
         scores.reshape(bs, S, 3), valid.reshape(bs, S, 3), cfg.nt)
@@ -154,23 +191,27 @@ def _sample_and_score(params, key, batch, cfg: Config, net: Net, formulas,
     nn["ade"], nn["fde"] = metrics.ade_fde(
         gt_trajs, nn_trajs[:, :-1].reshape(bs, S, 3, cfg.nt, 4),
         valid.reshape(bs, -1))
-    extra = metrics.measure_extra_diversity(
-        nn_trajs[:, :-1].reshape(bs, S, 3, cfg.nt * 4),
-        scores.reshape(bs, S, 3), valid.reshape(bs, S, 3), cfg.nt,
-        nn_controls.reshape(bs, S, 3, cfg.nt * 2),
-        -cfg.mul_w_max, cfg.mul_w_max, -cfg.mul_a_max, cfg.mul_a_max)
-    nn.update({f"ent_{k}": v for k, v in extra.items()
-               if k.startswith("ent")})
-    nn["area"] = extra["area"]
+    if cfg.extra_diversity:
+        extra = metrics.measure_extra_diversity(
+            nn_trajs[:, :-1].reshape(bs, S, 3, cfg.nt * 4),
+            scores.reshape(bs, S, 3), valid.reshape(bs, S, 3), cfg.nt,
+            nn_controls.reshape(bs, S, 3, cfg.nt * 2),
+            -cfg.mul_w_max, cfg.mul_w_max, -cfg.mul_a_max, cfg.mul_a_max)
+        nn.update({f"ent_{k}": v for k, v in extra.items()
+                   if k.startswith("ent")})
+        nn["area"] = extra["area"]
     nn.update(metrics.label_score_breakdown(
         scores.reshape(bs, S, 3), batch["gt_high_level"][:, 0],
         valid.reshape(bs, S, 3)))
-    return tj, nn
+    return nn
 
 
 def run(cfg: Config, ds: SceneDataset, params, net: Optional[Net] = None,
         n_trials: Optional[int] = None, log=print) -> Dict[str, float]:
     """Open-loop evaluation over the val split; returns averaged metrics."""
+    # the reference's --run_sampling_test coupling (nusc_train.py:1789-1791)
+    # forces extra_diversity on in eval mode; Net arch is unaffected
+    cfg = cfg.with_(run_sampling_test=True).finalize()
     if net is None:
         net = Net(cfg)
     formulas = specs.build_scorer(cfg)
@@ -180,8 +221,13 @@ def run(cfg: Config, ds: SceneDataset, params, net: Optional[Net] = None,
     key = jax.random.PRNGKey(cfg.seed + 123)
     n_trials = n_trials if n_trials is not None else cfg.n_trials
 
-    fn = jax.jit(lambda p, k, b: _sample_and_score(p, k, b, cfg, net,
-                                                   formulas, coeffs))
+    fn_tj = jax.jit(lambda p, k, b: _trajopt_row(p, k, b, cfg, net,
+                                                 formulas, coeffs))
+    fn_sample = jax.jit(lambda p, k, b: _sample_and_score(p, k, b, cfg, net,
+                                                          formulas, coeffs))
+    fn_metrics = jax.jit(lambda o, u, tr, v, b: _nn_metrics(o, u, tr, v, b,
+                                                            cfg))
+    warmed = False
     for bi, batch in enumerate(batch_iterator(ds, "val", cfg.batch_size,
                                               shuffle=False,
                                               drop_last=False)):
@@ -190,9 +236,16 @@ def run(cfg: Config, ds: SceneDataset, params, net: Optional[Net] = None,
         batch = {k: jnp.asarray(v) for k, v in batch.items()
                  if not k.startswith(("scene_", "traj_i", "ti"))}
         key, k = jax.random.split(key)
+        tj = fn_tj(params, k, batch)
+        if not warmed:   # compile outside the timer (reference is steady-
+            warmed = True  # state torch; first-call XLA compile isn't Time)
+            jax.block_until_ready(fn_sample(params, k, batch))
+        # ---- TIMED sampling region (nusc_train.py:957-1105) -----------
         t0 = time.time()
-        tj, nn = jax.block_until_ready(fn(params, k, batch))
+        nn, nn_controls, nn_trajs, valid = jax.block_until_ready(
+            fn_sample(params, k, batch))
         dt = time.time() - t0
+        nn = fn_metrics(nn, nn_controls, nn_trajs, valid, batch)
         for name, d in (("tj", tj), ("nn", nn)):
             for met in ("acc", "scene_acc", "ade", "fde", "std", "vol",
                         "ent_ent_s", "ent_ent_wa", "area"):

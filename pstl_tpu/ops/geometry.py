@@ -13,6 +13,8 @@ are evaluated in float32 (they feed the stiff tau=100 STL robustness).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -163,6 +165,151 @@ def min_neighbor_distance(ego_traj: Array, nei_traj: Array, nei_valid: Array,
         masked_center = min_dist * nei_valid + (1 - nei_valid) * 100.0
         return min_d, masked_center, r_sum
     return min_d
+
+
+# ---------------------------------------------------------------------------
+# fused ego-clearance with precomputed neighbor discs (guidance hot path)
+# ---------------------------------------------------------------------------
+#
+# The autodiff of ``min_neighbor_distance`` materializes the
+# (n, K, T, nL, nL) pairwise tensors in HBM twice (forward residuals + the
+# min-reduce VJP masks); XLA's cost model shows the guidance inner loop is
+# HBM-bound ~4:1 on exactly these.  This path (a) precomputes the neighbor
+# disc centers ONCE per planning call (they are constants of the guidance
+# problem), (b) reduces min-over-pairs on SQUARED distances so the sqrt
+# happens after the reduce (valid since the disc radii are per-car constants,
+# so min commutes), and (c) wraps the whole thing in a recompute-based
+# ``custom_vjp`` so no pairwise tensor ever becomes a residual — forward and
+# backward are each one produce+reduce fusion.
+#
+# Semantics match ``min_neighbor_distance`` with num_W == 1 (the reference
+# default, nusc_train.py:1667): r = min(max(L/(2 nL), W/2), W/2) == W/2.
+# Gradient tie-handling on the clip boundary uses a strict-interior gate
+# (measure-zero difference from jnp.clip's VJP).
+
+from typing import NamedTuple
+
+
+class NeighborDiscs(NamedTuple):
+    """Constant per-plan neighbor anchor-disc geometry.
+
+    nx, ny: (n, K, T, nL) disc centers; r: (n, K, T) disc radius;
+    valid: (n, K, T) mask.
+    """
+    nx: Array
+    ny: Array
+    r: Array
+    valid: Array
+
+
+def precompute_neighbor_discs(nei_traj: Array, nei_valid: Array,
+                              num_L: int) -> NeighborDiscs:
+    """nei_traj: (n, K, T, >=6) rows (x, y, th, ..., L, W)."""
+    nx0, ny0, nth = nei_traj[..., 0], nei_traj[..., 1], nei_traj[..., 2]
+    Ln, Wn = nei_traj[..., -2], nei_traj[..., -1]
+    r = Wn / 2.0
+    alpha = jnp.linspace(0.0, 1.0, num_L)
+    ax = ((-Ln / 2 + r)[..., None] * (1 - alpha)
+          + (Ln / 2 - r)[..., None] * alpha)                # (n, K, T, nL)
+    nx = nx0[..., None] + ax * jnp.cos(nth)[..., None]
+    ny = ny0[..., None] + ax * jnp.sin(nth)[..., None]
+    return NeighborDiscs(nx, ny, r, nei_valid)
+
+
+def _ego_axes(ego_L: float, ego_W: float, num_L: int):
+    re = ego_W / 2.0
+    return re, jnp.linspace(-ego_L / 2 + re, ego_L / 2 - re, num_L)
+
+
+def _clearance_fwd_math(ego_xyth, discs: NeighborDiscs, ego_L, ego_W, num_L):
+    """ego_xyth: (bs, R, T, 3) — R candidates per scene sharing the scene's
+    discs (bs, K, T, nL).  Returns (bs, R, T)."""
+    re, axe = _ego_axes(ego_L, ego_W, num_L)
+    x, y, th = ego_xyth[..., 0], ego_xyth[..., 1], ego_xyth[..., 2]
+    ex = x[..., None] + axe * jnp.cos(th)[..., None]      # (bs, R, T, nLe)
+    ey = y[..., None] + axe * jnp.sin(th)[..., None]
+    dx = (ex[:, :, None, :, :, None]                       # (bs,R,1,T,nLe,1)
+          - discs.nx[:, None, :, :, None, :])              # (bs,1,K,T,1,nLn)
+    dy = ey[:, :, None, :, :, None] - discs.ny[:, None, :, :, None, :]
+    d2 = jnp.min(dx * dx + dy * dy, axis=(-2, -1))         # (bs, R, K, T)
+    per = jnp.sqrt(d2 + 1e-12) - re - discs.r[:, None]
+    valid = discs.valid[:, None]
+    masked = jnp.clip(per, -5.0, 20.0) * valid + (1.0 - valid) * 100.0
+    return jnp.min(masked, axis=-2)                        # (bs, R, T)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def min_clearance_tiled(ego_xyth: Array, discs: NeighborDiscs, ego_L: float,
+                        ego_W: float, num_L: int = 4) -> Array:
+    """Masked min clearance of R candidate rollouts per scene against the
+    scene's precomputed neighbor discs.
+
+    ego_xyth: (bs, R, T, >=3); discs fields (bs, K, T, ...).  Returns
+    (bs, R, T).  Differentiable w.r.t. ego only (neighbors are playback
+    constants — matches the guidance problem and every training loss, where
+    neighbor tensors carry no gradient).  Keeping the discs at per-SCENE
+    shape instead of tiling them to bs*R rows is the point: the guidance
+    inner loop streams 2 MB of constants instead of ~400 MB.
+    """
+    return _clearance_fwd_math(ego_xyth[..., :3], discs, ego_L, ego_W, num_L)
+
+
+def _min_clearance_tiled_fwd(ego_xyth, discs, ego_L, ego_W, num_L):
+    out = _clearance_fwd_math(ego_xyth[..., :3], discs, ego_L, ego_W, num_L)
+    return out, (ego_xyth, discs)
+
+
+def _min_clearance_tiled_bwd(ego_L, ego_W, num_L, res, g):
+    ego_xyth, discs = res
+    re, axe = _ego_axes(ego_L, ego_W, num_L)
+    x, y, th = ego_xyth[..., 0], ego_xyth[..., 1], ego_xyth[..., 2]
+    cth, sth = jnp.cos(th), jnp.sin(th)
+    ex = x[..., None] + axe * cth[..., None]               # (bs, R, T, nLe)
+    ey = y[..., None] + axe * sth[..., None]
+    dx = ex[:, :, None, :, :, None] - discs.nx[:, None, :, :, None, :]
+    dy = ey[:, :, None, :, :, None] - discs.ny[:, None, :, :, None, :]
+    d2p = dx * dx + dy * dy                          # (bs,R,K,T,nLe,nLn)
+    d2 = jnp.min(d2p, axis=(-2, -1))
+    dist = jnp.sqrt(d2 + 1e-12)
+    per = dist - re - discs.r[:, None]
+    valid = discs.valid[:, None]
+    masked = jnp.clip(per, -5.0, 20.0) * valid + (1.0 - valid) * 100.0
+    out = jnp.min(masked, axis=-2, keepdims=True)          # (bs, R, 1, T)
+    # route through the K-min with tie splitting (matches jnp.min VJP)
+    eqK = (masked == out).astype(g.dtype)
+    wK = eqK / jnp.maximum(jnp.sum(eqK, axis=-2, keepdims=True), 1.0)
+    gate = ((per > -5.0) & (per < 20.0)).astype(g.dtype) * valid
+    gK = g[:, :, None] * wK * gate                         # (bs, R, K, T)
+    # pair-min tie splitting, then d sqrt = 0.5 / dist, d d2 = 2*dx -> dx/dist
+    eqP = (d2p == d2[..., None, None]).astype(g.dtype)
+    wP = eqP / jnp.maximum(jnp.sum(eqP, axis=(-2, -1), keepdims=True), 1.0)
+    coef = (gK / dist)[..., None, None] * wP         # (bs,R,K,T,nLe,nLn)
+    g_ex = jnp.sum(coef * dx, axis=(-4, -1))               # (bs, R, T, nLe)
+    g_ey = jnp.sum(coef * dy, axis=(-4, -1))
+    gx = jnp.sum(g_ex, axis=-1)
+    gy = jnp.sum(g_ey, axis=-1)
+    gth = jnp.sum(g_ex * (-axe * sth[..., None])
+                  + g_ey * (axe * cth[..., None]), axis=-1)
+    g_ego = jnp.stack([gx, gy, gth], axis=-1)
+    if ego_xyth.shape[-1] > 3:
+        g_ego = jnp.concatenate(
+            [g_ego, jnp.zeros(ego_xyth.shape[:-1]
+                              + (ego_xyth.shape[-1] - 3,), g_ego.dtype)],
+            axis=-1)
+    zero_discs = jax.tree_util.tree_map(jnp.zeros_like, discs)
+    return g_ego, zero_discs
+
+
+min_clearance_tiled.defvjp(_min_clearance_tiled_fwd, _min_clearance_tiled_bwd)
+
+
+def min_clearance_pre(ego_xyth: Array, discs: NeighborDiscs, ego_L: float,
+                      ego_W: float, num_L: int = 4) -> Array:
+    """Per-row variant: ego_xyth (n, T, >=3) against per-row discs
+    (n, K, T, ...).  Returns (n, T).  Thin wrapper over the tiled kernel
+    with R = 1."""
+    return min_clearance_tiled(ego_xyth[:, None], discs, ego_L, ego_W,
+                               num_L)[:, 0]
 
 
 def bbox_corners(x, y, theta, L, W) -> Array:

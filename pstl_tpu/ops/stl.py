@@ -41,23 +41,26 @@ _NEG_INF = -jnp.inf
 # ---------------------------------------------------------------------------
 
 def soft_max(x: Array, tau: float, axis: int = -1, hard: bool = False,
-             keepdims: bool = False) -> Array:
+             keepdims: bool = False, dtype=jnp.float32) -> Array:
     """Soft maximum ``logsumexp(x * tau) / tau`` (exact max when hard=True).
 
     All -inf inputs along ``axis`` produce -inf (empty-window semantics).
+    ``dtype`` is the accumulation dtype (cfg.robustness_dtype; fp32 default —
+    tau=100 soft semantics is stiff, bf16 is opt-in for speed studies).
     """
     if hard:
         return jnp.max(x, axis=axis, keepdims=keepdims)
-    x = x.astype(jnp.float32)
+    x = x.astype(dtype)
     return jax.scipy.special.logsumexp(x * tau, axis=axis,
                                        keepdims=keepdims) / tau
 
 
 def soft_min(x: Array, tau: float, axis: int = -1, hard: bool = False,
-             keepdims: bool = False) -> Array:
+             keepdims: bool = False, dtype=jnp.float32) -> Array:
     if hard:
         return jnp.min(x, axis=axis, keepdims=keepdims)
-    return -soft_max(-x, tau, axis=axis, hard=False, keepdims=keepdims)
+    return -soft_max(-x, tau, axis=axis, hard=False, keepdims=keepdims,
+                     dtype=dtype)
 
 
 def _masked_soft_max(x: Array, mask: Array, tau: float, hard: bool) -> Array:

@@ -37,14 +37,13 @@ K_D_LIST = {
 
 
 def convex_refinement(nn_controls: Array, all_steps: Array,
-                      states_flat: Array, signal_base: Dict[str, Array],
-                      highlevel: Array, formulas, cfg: Config, K: int = 8,
+                      states_flat: Array, score_rows, valid: Array,
+                      cfg: Config, K: int = 8,
                       n_iters: int = 50, lr: float = 0.3,
                       stl_thres: float = 0.0005) -> Array:
     """Optimize softmax weights lambda over {current controls} U {selected
     cached denoise steps}; replace only violating candidates."""
     N = nn_controls.shape[0]
-    valid = signal_base["dense_valids"].reshape(-1)
     idx = K_D_LIST[K]
     cands = jnp.stack([jax.lax.stop_gradient(nn_controls)]
                       + [jax.lax.stop_gradient(all_steps[i]) for i in idx],
@@ -52,10 +51,7 @@ def convex_refinement(nn_controls: Array, all_steps: Array,
 
     def score(u):
         trajs = dyn.rollout(states_flat, u, cfg.dt)
-        sig = dict(signal_base)
-        sig["ego_traj"] = trajs[:, :-1]
-        _, s, _ = specs.compute_scores(sig, formulas, highlevel, valid, cfg)
-        return s
+        return score_rows(trajs[:, :-1])
 
     s0 = score(nn_controls)
     violated = ((s0 <= 0) & (valid > 0)).astype(nn_controls.dtype)
@@ -88,19 +84,15 @@ def convex_refinement(nn_controls: Array, all_steps: Array,
 
 
 def raw_refinement(nn_controls: Array, states_flat: Array,
-                   signal_base: Dict[str, Array], highlevel: Array,
-                   formulas, cfg: Config, n_iters: int = 5, lr: float = 3e-2,
+                   score_rows, valid: Array, cfg: Config,
+                   n_iters: int = 5, lr: float = 3e-2,
                    stl_thres: float = 0.0005) -> Array:
     """Adam on a raw control residual for violating candidates
     (nusc_sim.py:627-666)."""
-    valid = signal_base["dense_valids"].reshape(-1)
 
     def score(u):
         trajs = dyn.rollout(states_flat, u, cfg.dt)
-        sig = dict(signal_base)
-        sig["ego_traj"] = trajs[:, :-1]
-        _, s, _ = specs.compute_scores(sig, formulas, highlevel, valid, cfg)
-        return s
+        return score_rows(trajs[:, :-1])
 
     base = jax.lax.stop_gradient(nn_controls)
     s0 = score(base)

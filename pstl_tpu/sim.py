@@ -63,15 +63,79 @@ class SceneTensors(NamedTuple):
     center_dense: Array   # (n_dense, 3) dense current-lane centerline
     lane_valids: Array    # (3,) [curr, left, right] validity
     length: Array         # () scene length (sim steps)
+    drivable: Array       # (H, W) rasterized drivable-area mask
+    drivable_origin: Array  # (2,) world coords of mask corner (x0, y0)
+    drivable_res: Array   # () meters per cell
+
+
+def rasterize_corridor(center_dense: np.ndarray, lane_valids: np.ndarray,
+                       resolution: float = 0.5, margin: float = 12.0):
+    """Drivable raster of the analytic lane corridor (synthetic scenes /
+    legacy caches without an extracted drivable_area layer): a grid cell is
+    drivable when within CORRIDOR_HALF of any valid lane's centerline.
+    Returns (mask (H, W) bool, origin (2,), resolution)."""
+    pts = center_dense[:, :2]
+    lo = pts.min(axis=0) - (LANE_OFFSET + margin)
+    hi = pts.max(axis=0) + (LANE_OFFSET + margin)
+    H = int(np.ceil((hi[1] - lo[1]) / resolution))
+    W = int(np.ceil((hi[0] - lo[0]) / resolution))
+    gx = lo[0] + (np.arange(W) + 0.5) * resolution
+    gy = lo[1] + (np.arange(H) + 0.5) * resolution
+    offsets = [0.0] + [LANE_OFFSET * s for s, v in
+                       (( +1.0, lane_valids[1]), (-1.0, lane_valids[2]))
+                       if v > 0.5]
+    nx = -np.sin(center_dense[:, 2])
+    ny = np.cos(center_dense[:, 2])
+    mask = np.zeros((H, W), bool)
+    for i0 in range(0, H, 64):        # chunk rows to bound temp memory
+        gyc = gy[i0:i0 + 64]
+        dx = gx[None, :, None] - pts[None, None, :, 0]     # (1, W, n)
+        dy = gyc[:, None, None] - pts[None, None, :, 1]    # (h, 1, n)
+        d2 = dx * dx + dy * dy                             # (h, W, n)
+        ok = np.zeros(d2.shape[:2], bool)
+        for off in offsets:
+            ox = pts[None, None, :, 0] + nx[None, None, :] * off
+            oy = pts[None, None, :, 1] + ny[None, None, :] * off
+            dd = (gx[None, :, None] - ox) ** 2 \
+                + (gyc[:, None, None] - oy) ** 2
+            ok |= np.min(dd, axis=-1) <= CORRIDOR_HALF ** 2
+        mask[i0:i0 + 64] = ok
+    return mask, lo.astype(np.float32), np.float32(resolution)
 
 
 def scenes_from_dataset(data: Dict[str, np.ndarray]) -> SceneTensors:
+    if "scene_drivable" in data:
+        mask = np.asarray(data["scene_drivable"])
+        origin = np.asarray(data["scene_drivable_origin"])
+        res = np.asarray(data["scene_drivable_res"])
+    else:
+        # legacy/synthetic cache: rasterize the analytic corridor so the
+        # out-of-lane check matches the reference's drivable_area raster
+        # query (nusc_sim.py:190-211) instead of an analytic band
+        masks, origins, ress = [], [], []
+        for i in range(len(data["scene_center_dense"])):
+            m, o, r = rasterize_corridor(
+                np.asarray(data["scene_center_dense"][i]),
+                np.asarray(data["scene_lane_valids"][i]))
+            masks.append(m)
+            origins.append(o)
+            ress.append(r)
+        Hm = max(m.shape[0] for m in masks)
+        Wm = max(m.shape[1] for m in masks)
+        mask = np.zeros((len(masks), Hm, Wm), bool)
+        for i, m in enumerate(masks):
+            mask[i, :m.shape[0], :m.shape[1]] = m
+        origin = np.stack(origins)
+        res = np.stack(ress)
     return SceneTensors(
         ego_full=jnp.asarray(data["scene_ego_full"]),
         nei_full=jnp.asarray(data["scene_nei_full"]),
         center_dense=jnp.asarray(data["scene_center_dense"]),
         lane_valids=jnp.asarray(data["scene_lane_valids"]),
         length=jnp.asarray(data["scene_len"]),
+        drivable=jnp.asarray(mask),
+        drivable_origin=jnp.asarray(origin),
+        drivable_res=jnp.asarray(res),
     )
 
 
@@ -159,17 +223,15 @@ def make_planner(cfg: Config, net: Net, params, formulas,
         dense = specs.densify_batch(obs, gt_stlp, cfg, key=k_dense,
                                     stlp_dense=stlp_dense)
         highlevel = dense["highlevel_dense"]
-        signal_base = specs.dense_signal_input(dense)
         valid = dense["valids_dense"].reshape(-1)
         states_flat = jnp.broadcast_to(states[:, None, None],
                                        (bs, M, 3, 4)).reshape(n, 4)
+        score_rows = specs.make_score_rows(obs, dense, cfg, formulas)
 
         def score_controls(u):
             trajs = dyn.rollout(states_flat, u, cfg.dt)
-            sig = dict(signal_base)
-            sig["ego_traj"] = trajs[:, :-1]
-            _, s, acc = specs.compute_scores(sig, formulas, highlevel, valid,
-                                             cfg)
+            s = score_rows(trajs[:, :-1])
+            acc = specs.mask_mean((s > 0).astype(jnp.float32), valid)
             return s, acc, trajs
 
         ext0 = {"timestep": jnp.ones((n, 1)), "highlevel": highlevel,
@@ -179,7 +241,8 @@ def make_planner(cfg: Config, net: Net, params, formulas,
         def apply_fn(e):
             return net.apply(params, dense, e, prev_feature=feature)
 
-        guidance_ctx = ((signal_base, highlevel, states_flat, formulas)
+        guidance_ctx = (diffusion.make_guidance_ctx(score_rows, valid,
+                                                    states_flat)
                         if cfg.guidance else None)
         nn_controls, all_steps = diffusion.sample(
             k_sample, apply_fn, dense, highlevel, feature, cfg, coeffs, n,
@@ -188,8 +251,7 @@ def make_planner(cfg: Config, net: Net, params, formulas,
         if cfg.rect_head and not cfg.not_use_rect:
             if cfg.multi_cands is not None:
                 nn_controls, prev_scores = diffusion.select_multi_cands(
-                    all_steps, cfg.multi_cands, states_flat, signal_base,
-                    highlevel, formulas, cfg)
+                    all_steps, cfg.multi_cands, states_flat, score_rows, cfg)
             else:
                 prev_scores, _, _ = score_controls(nn_controls)
             controls = net.apply(params, feature, highlevel,
@@ -200,16 +262,28 @@ def make_planner(cfg: Config, net: Net, params, formulas,
                 controls = net.apply(params, feature, highlevel,
                                      dense["stlp_dense"][:, 0], controls,
                                      s_re, method=Net.rect)
-            if cfg.refinement:
+            if cfg.refinement or cfg.raw_refinement:
                 from pstl_tpu import refine
-                controls = refine.convex_refinement(
-                    controls, all_steps, states_flat, signal_base, highlevel,
-                    formulas, cfg, K=6)
-            elif cfg.raw_refinement:
-                from pstl_tpu import refine
-                controls = refine.raw_refinement(
-                    controls, states_flat, signal_base, highlevel, formulas,
-                    cfg)
+
+                def do_refine(c):
+                    if cfg.refinement:
+                        return refine.convex_refinement(
+                            c, all_steps, states_flat, score_rows, valid,
+                            cfg, K=6)
+                    return refine.raw_refinement(
+                        c, states_flat, score_rows, valid, cfg)
+
+                if cfg.lite_refine:
+                    # --lite_refine (nusc_sim.py:554-557): skip the gradient
+                    # repair when some lane-keep candidate already satisfies
+                    # the spec (reference: scalar max, batch_size=1; here
+                    # the max runs over the whole scene batch)
+                    s_pre, _, _ = score_controls(controls)
+                    keep_max = jnp.max(s_pre.reshape(bs, M, 3)[:, :, 0])
+                    controls = jax.lax.cond(keep_max <= 0, do_refine,
+                                            lambda c: c, controls)
+                else:
+                    controls = do_refine(controls)
         else:
             controls = nn_controls
 
@@ -300,13 +374,15 @@ def env_step(scene: SceneTensors, ego_state: Array, t: Array, u: Array,
     clear = jnp.clip(clear, -5.0, 20.0) * nei_next[:, 0] \
         + (1 - nei_next[:, 0]) * 100.0
     collide = jnp.min(clear) < D_SAFE
-    # analytic drivable corridor over valid lanes
-    curr = lane_window_device(scene.center_dense, new_state[:2], cfg.n_segs)
-    d = geom.point_to_polyline(new_state[None, None, :3], curr[None])[0, 0]
-    offsets = jnp.asarray([0.0, LANE_OFFSET, -LANE_OFFSET])
-    inside_any = jnp.any(
-        (jnp.abs(d - offsets) <= CORRIDOR_HALF) & (scene.lane_valids > 0.5))
-    out_of_lane = ~inside_any
+    # rasterized drivable-area lookup (nusc_sim.py:190-211 parity: the
+    # reference queries the map's drivable_area layer at the new pose)
+    rel = (new_state[:2] - scene.drivable_origin) / scene.drivable_res
+    j = jnp.floor(rel[0]).astype(jnp.int32)
+    i = jnp.floor(rel[1]).astype(jnp.int32)
+    H, W = scene.drivable.shape
+    in_bounds = (i >= 0) & (i < H) & (j >= 0) & (j < W)
+    cell = scene.drivable[jnp.clip(i, 0, H - 1), jnp.clip(j, 0, W - 1)]
+    out_of_lane = ~(in_bounds & cell)
     done_t = t + 1 >= scene.length - 2
     return new_state, collide, out_of_lane, done_t
 

@@ -76,7 +76,14 @@ def prep_signals(x: Dict[str, Array], cfg: Config,
 
     nei = x["neighbors"]
     need_full = with_collision or cfg.collision_loss is not None
-    if cfg.use_pallas_clearance and not need_full and cfg.refined_nW == 1:
+    if "nei_discs" in x and not need_full and cfg.refined_nW == 1:
+        # constant disc geometry hoisted by dense_signal_input: one fused
+        # produce+reduce per evaluation, recompute-based VJP (no pairwise
+        # tensors in HBM) — the guidance hot path
+        out["min_nei_d"] = geom.min_clearance_pre(
+            x["ego_traj"][..., 0:3], x["nei_discs"], cfg.ego_L, cfg.ego_W,
+            cfg.refined_nL)
+    elif cfg.use_pallas_clearance and not need_full and cfg.refined_nW == 1:
         from pstl_tpu.ops import pallas_kernels as pk
         out["min_nei_d"] = pk.min_neighbor_distance_fused(
             x["ego_traj"][..., 0:4], nei[..., 1:7], nei[..., I_VAL],
@@ -91,7 +98,7 @@ def prep_signals(x: Dict[str, Array], cfg: Config,
         else:
             out["min_nei_d"] = res
 
-    if cfg.norm_stl:
+    if cfg.norm_stl and "v_factor" not in x:
         stlp = x["stlp"]
         out["v_factor"] = jnp.clip(stlp[..., I_VMAX] - stlp[..., I_VMIN], 0.3)
         out["d_factor"] = jnp.clip((stlp[..., I_DMAX] - stlp[..., I_DMIN]) * 5,
@@ -183,21 +190,26 @@ class ClauseBank:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        # robustness accumulation dtype (cfg.robustness_dtype): fp32 default;
+        # bf16 measured viable on scene-local coordinates (docs/PERF.md)
+        self.dtype = jnp.bfloat16 if cfg.robustness_dtype == "bfloat16" \
+            else jnp.float32
 
     def _alw0(self, g: Array, tau: float, hard: bool) -> Array:
         """Always(0, nt) robustness at t=0 = soft-min over the horizon."""
-        return stl.soft_min(g, tau, axis=-1, hard=hard)
+        return stl.soft_min(g, tau, axis=-1, hard=hard, dtype=self.dtype)
 
     def _ev_alw0(self, g: Array, tau: float, hard: bool) -> Array:
         """Eventually(0, nt//2, Always(0, nt, g)) at t=0: suffix soft-mins
         via reverse cumulative scan, soft-max over the first nt//2."""
         nt2 = self.cfg.nt // 2
-        g = g.astype(jnp.float32)
+        g = g.astype(self.dtype)
         if hard:
             suffix = stl.cumulative(jnp.minimum, g, axis=-1, reverse=True)
             return jnp.max(suffix[..., :nt2], axis=-1)
         suffix = -stl.logcumsumexp(-g * tau, axis=-1, reverse=True) / tau
-        return stl.soft_max(suffix[..., :nt2], tau, axis=-1)
+        return stl.soft_max(suffix[..., :nt2], tau, axis=-1,
+                            dtype=self.dtype)
 
     def clause_breakdown(self, x: Dict[str, Array], tau: float,
                          hard: bool = False) -> Dict[str, Array]:
@@ -219,7 +231,8 @@ class ClauseBank:
         else:
             vf = df = sf = 1.0
         pair = lambda a, b: stl.soft_min(jnp.stack([a, b], -1), tau,
-                                         axis=-1, hard=hard)
+                                         axis=-1, hard=hard,
+                                         dtype=self.dtype)
         out = [
             self._alw0((v - P(I_VMIN)) / vf, tau, hard),
             self._alw0((-v + P(I_VMAX)) / vf, tau, hard),
@@ -244,7 +257,7 @@ class ClauseBank:
 
         def conj(parts):
             return stl.soft_min(jnp.stack(parts, axis=-1), tau, axis=-1,
-                                hard=hard)
+                                hard=hard, dtype=self.dtype)
 
         s_curr = conj([alw_vmin, alw_vmax, alw_dmin, alw_dmax, alw_th,
                        alw_safe])
@@ -256,6 +269,152 @@ class ClauseBank:
 def build_scorer(cfg: Config) -> ClauseBank:
     """The production robustness scorer (fused clause bank)."""
     return ClauseBank(cfg)
+
+
+class TiledScorer:
+    """Fast robustness scorer for the canonical dense layout
+    (bs x n_randoms x 3 maneuvers), numerically identical to evaluating the
+    ClauseBank and selecting per-row (verified in tests/test_specs.py).
+
+    Two structural savings over ClauseBank on pre-tiled signals, both exact:
+
+    1. **Per-row formula selection before compute.**  A row whose maneuver is
+       j only ever reads lane j's distance/heading signals (keep -> curr,
+       left-change -> left, right-change -> right; nusc_train.py:95-140), so
+       the lane geometry runs once per row instead of three times, and each
+       row evaluates only its own formula's clauses (~5.3 instead of 10).
+    2. **Per-scene constants stay per-scene.**  All R = n_randoms*3 candidate
+       rows of a scene share its neighbors/lanes; scoring in (bs, R, ...)
+       layout against (bs, K, T, nL) discs and (bs, S, 3) lanes removes the
+       ~R x constant streaming that dominated the guidance profile.
+
+    Built ONCE per planning/eval/train call from the per-scene batch;
+    ``__call__(trajs)`` maps (N, T, >=4) rollout states (t = 0..T-1) to
+    per-row robustness (N,).  The outlier class never appears in this layout
+    (highlevel_dense tiles [0, 1, 2]); use ``compute_scores`` for batches
+    carrying label-3 rows.
+    """
+
+    def __init__(self, batch: Dict[str, Array], stlp_dense: Array,
+                 cfg: Config, n_randoms: Optional[int] = None):
+        self.cfg = cfg
+        M = n_randoms if n_randoms is not None else cfg.n_randoms
+        self.R = M * 3
+        nei = batch["neighbor_trajs_aug"]                   # (bs, K, T, 7)
+        self.bs = nei.shape[0]
+        self.discs = geom.precompute_neighbor_discs(
+            nei[..., 1:7], nei[..., I_VAL], cfg.refined_nL)
+        self.lanes = [batch["currlane_wpts"], batch["leftlane_wpts"],
+                      batch["rightlane_wpts"]]              # 3 x (bs, S, 3)
+        self.stlp = stlp_dense.reshape(self.bs, M, 3, 6)
+        self.dtype = jnp.bfloat16 if cfg.robustness_dtype == "bfloat16" \
+            else jnp.float32
+        if cfg.norm_stl:
+            s = self.stlp
+            self.vf = jnp.clip(s[..., I_VMAX] - s[..., I_VMIN], 0.3)
+            self.df = jnp.clip((s[..., I_DMAX] - s[..., I_DMIN]) * 5, 0.3)
+            self.sf = jnp.clip(s[..., I_DSAFE], 0.3)
+        else:
+            self.vf = self.df = self.sf = 1.0
+
+    def _alw(self, g, tau, hard):
+        return stl.soft_min(g, tau, axis=-1, hard=hard, dtype=self.dtype)
+
+    def _ev_alw(self, g, tau, hard):
+        nt2 = self.cfg.nt // 2
+        g = g.astype(self.dtype)
+        if hard:
+            suffix = stl.cumulative(jnp.minimum, g, axis=-1, reverse=True)
+            return jnp.max(suffix[..., :nt2], axis=-1)
+        suffix = -stl.logcumsumexp(-g * tau, axis=-1, reverse=True) / tau
+        return stl.soft_max(suffix[..., :nt2], tau, axis=-1,
+                            dtype=self.dtype)
+
+    def __call__(self, trajs: Array, tau: Optional[float] = None,
+                 hard: bool = False) -> Array:
+        cfg = self.cfg
+        if tau is None:
+            tau = cfg.smoothing_factor
+        bs, R, M = self.bs, self.R, self.R // 3
+        ego = trajs.reshape(bs, M, 3, cfg.nt, trajs.shape[-1])
+        stlp = self.stlp                                      # (bs, M, 3, 6)
+        P = lambda i: stlp[..., i:i + 1]                      # (bs, M, 3, 1)
+
+        # clauses shared by every formula: speed band + neighbor clearance
+        v = ego[..., 3]                                       # (bs, M, 3, T)
+        alw_vmin = self._alw((v - P(I_VMIN)) / _u(self.vf), tau, hard)
+        alw_vmax = self._alw((-v + P(I_VMAX)) / _u(self.vf), tau, hard)
+        mnd = geom.min_clearance_tiled(
+            ego[..., :3].reshape(bs, R, cfg.nt, 3), self.discs, cfg.ego_L,
+            cfg.ego_W, cfg.refined_nL).reshape(bs, M, 3, cfg.nt)
+        alw_safe = self._alw((mnd - P(I_DSAFE)) / _u(self.sf), tau, hard)
+
+        # per-maneuver lane clauses: ONE lane per row
+        pair = lambda a, b: stl.soft_min(jnp.stack([a, b], -1), tau,
+                                         axis=-1, hard=hard,
+                                         dtype=self.dtype)
+        scores = []
+        for j in range(3):
+            d, th = geom.point_to_polyline(
+                ego[:, :, j, :, :3], self.lanes[j][:, None],
+                clip=cfg.clip_dist, with_angle=True, inline=cfg.inline)
+            Pj = lambda i: stlp[:, :, j, i:i + 1]             # (bs, M, 1)
+            dfj, thfj = _sel(self.df, j), None
+            if j == 0:
+                clauses = [alw_vmin[:, :, 0], alw_vmax[:, :, 0],
+                           self._alw((d - Pj(I_DMIN)) / dfj, tau, hard),
+                           self._alw((-d + Pj(I_DMAX)) / dfj, tau, hard),
+                           self._alw((Pj(I_THMAX) - th) / Pj(I_THMAX), tau,
+                                     hard),
+                           alw_safe[:, :, 0]]
+            else:
+                g_d = pair((d - Pj(I_DMIN)) / dfj, (-d + Pj(I_DMAX)) / dfj)
+                clauses = [alw_vmin[:, :, j], alw_vmax[:, :, j],
+                           self._ev_alw(g_d, tau, hard),
+                           self._ev_alw((Pj(I_THMAX) - th) / Pj(I_THMAX),
+                                        tau, hard),
+                           alw_safe[:, :, j]]
+            scores.append(stl.soft_min(jnp.stack(clauses, -1), tau, axis=-1,
+                                       hard=hard, dtype=self.dtype))
+        return jnp.stack(scores, axis=-1).reshape(bs * R)     # (N,)
+
+
+def make_score_rows(batch: Dict[str, Array], dense: Dict[str, Array],
+                    cfg: Config, formulas=None,
+                    n_randoms: Optional[int] = None):
+    """Per-row robustness function for the canonical dense layout.
+
+    Returns ``score_rows(ego_states (N, T, >=4)) -> (N,)``.  TiledScorer
+    fast path by default; ``cfg.tiled_scorer=False`` falls back to the
+    ClauseBank over pre-tiled signals (identical numerics, see
+    tests/test_specs.py::TestTiledScorer).
+    """
+    if cfg.tiled_scorer:
+        return TiledScorer(batch, dense["stlp_dense"], cfg, n_randoms)
+    if formulas is None:
+        formulas = build_scorer(cfg)
+    signal_base = dense_signal_input(dense, cfg=cfg)
+    hl = dense["highlevel_dense"]
+    valid = dense["valids_dense"].reshape(-1)
+
+    def score_rows(ego):
+        sig = dict(signal_base)
+        sig["ego_traj"] = ego
+        _, s, _ = compute_scores(sig, formulas, hl, valid, cfg)
+        return s
+
+    return score_rows
+
+
+def _u(f):
+    """Unsqueeze a (bs, M, 3) norm factor to broadcast over T (scalars pass
+    through)."""
+    return f[..., None] if hasattr(f, "ndim") and f.ndim == 3 else f
+
+
+def _sel(f, j):
+    """Select maneuver j of a (bs, M, 3) factor for (bs, M, T) broadcasting."""
+    return f[:, :, j, None] if hasattr(f, "ndim") and f.ndim == 3 else f
 
 
 def select_scores(scores_list: Sequence[Array], stl_idx: Array) -> Array:
@@ -493,9 +652,16 @@ def densify_batch(batch: Dict[str, Array], the_stlp: Array, cfg: Config,
 def dense_signal_input(batch: Dict[str, Array],
                        dense_trajs: Optional[Array] = None,
                        repeat_n: Optional[int] = None,
-                       detach: bool = False) -> Dict[str, Array]:
+                       detach: bool = False,
+                       cfg: Optional[Config] = None) -> Dict[str, Array]:
     """Assemble the signal dict consumed by the formulas from a densified
-    batch (``pre_prepare_stl_cache``, nusc_train.py:258-285)."""
+    batch (``pre_prepare_stl_cache``, nusc_train.py:258-285).
+
+    With ``cfg`` given, also hoists everything that is CONSTANT across
+    repeated evaluations on the same dense batch — neighbor anchor-disc
+    geometry and the norm_stl factors — so the guidance inner loop and
+    multi-candidate scoring do not recompute them per call.
+    """
     out = {
         "neighbors": batch["neighbors_dense"],
         "currlane_wpts": batch["currlane_wpts_dense"],
@@ -505,11 +671,23 @@ def dense_signal_input(batch: Dict[str, Array],
         "dense_valids": batch["valids_dense"],
         "gt_high_level": batch["gt_high_level"],
     }
+    if cfg is not None:
+        if cfg.refined_nW == 1 and cfg.collision_loss is None:
+            nei = out["neighbors"]
+            out["nei_discs"] = geom.precompute_neighbor_discs(
+                nei[..., 1:7], nei[..., I_VAL], cfg.refined_nL)
+        if cfg.norm_stl:
+            stlp = out["stlp"]
+            out["v_factor"] = jnp.clip(stlp[..., I_VMAX] - stlp[..., I_VMIN],
+                                       0.3)
+            out["d_factor"] = jnp.clip(
+                (stlp[..., I_DMAX] - stlp[..., I_DMIN]) * 5, 0.3)
+            out["safe_factor"] = jnp.clip(stlp[..., I_DSAFE], 0.3)
     if detach:
         out = {k: jax.lax.stop_gradient(v) for k, v in out.items()}
     if repeat_n is not None:
-        out = {k: jnp.tile(v, (repeat_n,) + (1,) * (v.ndim - 1))
-               for k, v in out.items()}
+        out = jax.tree_util.tree_map(
+            lambda v: jnp.tile(v, (repeat_n,) + (1,) * (v.ndim - 1)), out)
     if dense_trajs is not None:
         out["ego_traj"] = dense_trajs
     return out

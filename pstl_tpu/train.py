@@ -65,10 +65,23 @@ def init_state(cfg: Config, net: Net, sample_batch: Dict[str, Array],
     return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
 
+def attach_neighbors(batch: Dict[str, Array], cfg: Config) -> Dict[str, Array]:
+    """GT neighbor tracks vs constant-velocity prediction
+    (``gt_nei``, nusc_train.py:1262-1265).  The reference forces gt_nei=True
+    post-parse; the const-vel branch stays reachable via ``with_``."""
+    batch = dict(batch)
+    batch["neighbors"] = batch["neighbors_traj"][:, :, 0, :]
+    if cfg.gt_nei:
+        batch["neighbor_trajs_aug"] = batch["neighbors_traj"]
+    else:
+        batch["neighbor_trajs_aug"] = dyn.neighbor_rollout(
+            batch["neighbors"], cfg.nt, cfg.dt, full=True)
+    return batch
+
+
 def _init_inputs(cfg: Config, batch, key):
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
-    batch["neighbor_trajs_aug"] = batch["neighbors_traj"]
-    batch["neighbors"] = batch["neighbors_traj"][:, :, 0, :]
+    batch = attach_neighbors(batch, cfg)
     gt = batch["ego_traj"][..., :4]
     stlp = specs.calibrate_stlp(batch, gt, cfg)
     dense = specs.densify_batch(batch, stlp, cfg, key=key)
@@ -110,9 +123,7 @@ def batch_forward_and_loss(params, key: Array, batch: Dict[str, Array],
     """Everything between dataloader and optimizer for one batch
     (mirrors nusc_train.py:1251-1525 multi_check branch)."""
     k_dense, k_prep, k_sample, k_vae = jax.random.split(key, 4)
-    batch = dict(batch)
-    batch["neighbor_trajs_aug"] = batch["neighbors_traj"]
-    batch["neighbors"] = batch["neighbors_traj"][:, :, 0, :]
+    batch = attach_neighbors(batch, cfg)
     gt_trajs = batch["ego_traj"][..., :4]
     states = gt_trajs[:, 0, :4]
     bs = states.shape[0]
@@ -128,7 +139,7 @@ def batch_forward_and_loss(params, key: Array, batch: Dict[str, Array],
     states_flat = jnp.broadcast_to(
         states[:, None, None], (bs, cfg.n_randoms, 3, 4)).reshape(n, 4)
     highlevel = dense["highlevel_dense"]
-    signal_base = specs.dense_signal_input(dense)
+    signal_base = specs.dense_signal_input(dense, cfg=cfg)
     valid = dense["valids_dense"].reshape(-1)
 
     # trajopt-augmented targets (precomputed offline, nusc_train.py:1279-1300)
@@ -144,11 +155,13 @@ def batch_forward_and_loss(params, key: Array, batch: Dict[str, Array],
 
     rd: Dict[str, Array] = {}
 
-    def score_controls(controls, sig_extra=None):
+    score_rows = specs.make_score_rows(batch, dense, cfg, formulas)
+
+    def score_controls(controls):
         trajs = dyn.rollout(states_flat, controls, cfg.dt)
-        sig = dict(signal_base)
-        sig["ego_traj"] = trajs[:, :-1]
-        return specs.compute_scores(sig, formulas, highlevel, valid, cfg)
+        s = score_rows(trajs[:, :-1])
+        acc = specs.mask_mean((s > 0).astype(jnp.float32), valid)
+        return None, s, acc
 
     def coll_loss(controls):
         """TrafficSim collision loss on generated rollouts
@@ -176,15 +189,14 @@ def batch_forward_and_loss(params, key: Array, batch: Dict[str, Array],
             def apply_fn(e):
                 return net.apply(params, dense, e, prev_feature=feature)
 
-            guidance_ctx = ((signal_base, highlevel, states_flat, formulas)
-                            if cfg.guidance else None)
+            guidance_ctx = (diffusion.make_guidance_ctx(
+                score_rows, valid, states_flat) if cfg.guidance else None)
             nn_controls, all_steps = diffusion.sample(
                 k_sample, apply_fn, dense, highlevel, feature, cfg, coeffs,
                 n, guidance_ctx=guidance_ctx)
             if cfg.multi_cands is not None:
                 nn_controls, prev_scores = diffusion.select_multi_cands(
-                    all_steps, cfg.multi_cands, states_flat, signal_base,
-                    highlevel, formulas, cfg)
+                    all_steps, cfg.multi_cands, states_flat, score_rows, cfg)
             else:
                 _, prev_scores, _ = score_controls(nn_controls)
             nn_controls = jax.lax.stop_gradient(nn_controls)
@@ -212,6 +224,26 @@ def batch_forward_and_loss(params, key: Array, batch: Dict[str, Array],
                 rd["loss_coll"] = coll_loss(rect_controls)
                 rd["loss"] = (rd["loss_stl"] + rd["loss_reg"]
                               + rd["extra_loss_reg"] + rd["loss_coll"])
+        elif cfg.grad_rollout:
+            # --grad_rollout: differentiate THROUGH the full reverse sampler
+            # (nusc_train.py:562 enables grads when grad_rollout and no
+            # rect head; :1370 runs the sampler in training) and train on
+            # the STL hinge of the sampled controls
+            def apply_fn(e):
+                return net.apply(params, dense, e, prev_feature=feature)
+
+            guidance_ctx = (diffusion.make_guidance_ctx(
+                score_rows, valid, states_flat) if cfg.guidance else None)
+            nn_controls, _ = diffusion.sample(
+                k_sample, apply_fn, dense, highlevel, feature, cfg, coeffs,
+                n, guidance_ctx=guidance_ctx)
+            _, scores, acc = score_controls(nn_controls)
+            rd["loss_stl"] = losses.stl_hinge(scores, valid,
+                                              cfg.stl_nn_thres,
+                                              cfg.stl_weight)
+            rd["loss_coll"] = coll_loss(nn_controls)
+            rd["loss"] = (rd["loss_stl"] + rd["loss_diffusion"]
+                          + rd["loss_coll"])
         else:
             # plain DDPM: STL measured on trajopt targets' score statistics;
             # the sampler is only run for metrics at viz epochs in the
@@ -311,7 +343,8 @@ def _mono_forward_and_loss(params, key, batch, cfg, net, formulas, coeffs,
         controls, _ = diffusion.sample(
             k_sample, apply_fn, batch, hl, None, cfg, coeffs, n, mono=True,
             tmp_stlp=gt_stlp)
-        controls = jax.lax.stop_gradient(controls)
+        if not cfg.grad_rollout:
+            controls = jax.lax.stop_gradient(controls)
         trajs = dyn.rollout(states_mul, controls, cfg.dt)
         sig = mono_signals(trajs)
         _, scores, acc = specs.compute_scores(sig, formulas, hl_mul,
@@ -319,10 +352,11 @@ def _mono_forward_and_loss(params, key, batch, cfg, net, formulas, coeffs,
         rd["loss_stl"] = losses.stl_hinge(scores, jnp.ones((n,)),
                                           cfg.stl_nn_thres,
                                           cfg.stl_weight)
-        # sampling happens under stop_gradient (reference: grad_rollout off,
-        # nusc_train.py:562), so the mono diffusion training signal is the
-        # eps-MSE alone; loss_stl is reported as a metric
-        rd["loss"] = rd["loss_diffusion"]
+        # sampling happens under stop_gradient unless --grad_rollout
+        # (nusc_train.py:562): default mono training signal is the eps-MSE
+        # alone with loss_stl a metric; grad_rollout trains through it
+        rd["loss"] = rd["loss_diffusion"] + (rd["loss_stl"]
+                                             if cfg.grad_rollout else 0.0)
     elif cfg.vae:
         noise = jax.random.normal(k_vae, (n, cfg.vae_dim))
         ext = {"gt_stlp": gt_stlp, "highlevel": hl,
@@ -440,7 +474,7 @@ def train(cfg: Config, ds: SceneDataset, mesh=None, log=print,
           epochs: Optional[int] = None) -> TrainState:
     """Epoch loop over {train, val} (nusc_train.py:1245-1632)."""
     from pstl_tpu.parallel import shard_batch
-    from pstl_tpu.utils.meters import MeterDict
+    from pstl_tpu.utils.meters import MeterDict, Timer
 
     formulas = specs.build_scorer(cfg)
     coeffs = diffusion.get_coeffs(cfg)
@@ -472,7 +506,10 @@ def train(cfg: Config, ds: SceneDataset, mesh=None, log=print,
                                 epoch=epi)
             t0 = time.time()
             bi = -1
+            timer = Timer() if cfg.time_profile else None
             for bi, batch in enumerate(it):
+                if timer:
+                    timer.add("data")
                 batch = {k: jnp.asarray(v) for k, v in batch.items()
                          if k.startswith(("ego", "neighbors", "curr", "left",
                                           "right", "gt_", "params",
@@ -480,15 +517,28 @@ def train(cfg: Config, ds: SceneDataset, mesh=None, log=print,
                 if mesh is not None:
                     batch = shard_batch(batch, mesh)
                 key, k_step = jax.random.split(key)
+                if timer:
+                    timer.add("h2d")
                 if mode == "train":
                     state, rd = train_step(state, batch, k_step)
                 else:
                     rd = eval_step(state, batch, k_step)
+                if timer:
+                    jax.block_until_ready(rd["loss"])
+                    timer.add("step")
                 for k in ("loss", "loss_stl", "loss_diffusion", "loss_reg",
                           "loss_diversity", "loss_vae_bc", "loss_vae_kl",
                           "loss_bc", "acc", "tj_acc"):
                     if k in rd:
                         md.update(k, float(rd[k]))
+                if timer:
+                    timer.add("log")
+                # per-batch progress (nusc_train.py:1544 print gating)
+                if mode == "train" and cfg.print_freq > 0 \
+                        and bi % cfg.print_freq == 0:
+                    log(f"{mode:5s}[{epi:03d}|{bi:04d}] " + md.summary())
+            if timer:
+                log(f"profile[{epi:03d}|{mode}] " + timer.report())
             dur = time.time() - t0
             eta.update(mode, dur, n=max(bi + 1, 1))
             if mode == "val":

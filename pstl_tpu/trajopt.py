@@ -105,7 +105,7 @@ def optimize(params0: Array, states: Array, signal_base: Dict[str, Array],
 
 def augment_dataset(ds, cfg: Config, formulas, batch_size: int = 64,
                     iters: int | None = None, seed: int = 0,
-                    verbose: bool = True):
+                    verbose: bool = True, epochs: int = 1):
     """Offline augmentation pass over a SceneDataset: attaches ``params``
     (optimized), ``params_init``, ``pre_stlp`` and ``tj_scores_prior``
     columns — the array-store replacement for the reference's per-sample
@@ -122,30 +122,36 @@ def augment_dataset(ds, cfg: Config, formulas, batch_size: int = 64,
     run = jax.jit(lambda p0, st, sb, hl: optimize(
         p0, st, sb, hl, formulas, cfg_flex, iters=iters))
 
-    for i0 in range(0, n, batch_size):
-        idx = np.arange(i0, min(i0 + batch_size, n))
-        if len(idx) < batch_size:   # pad to keep shapes static
-            idx = np.concatenate([idx, idx[:batch_size - len(idx)]])
-        batch = {k: jnp.asarray(v) for k, v in ds.gather(idx).items()}
-        batch["neighbor_trajs_aug"] = batch["neighbors_traj"]
-        gt = batch["ego_traj"][..., :4]
-        stlp = specs.calibrate_stlp(batch, gt, cfg_flex)
-        key, k_d = jax.random.split(key)
-        dense = specs.densify_batch(batch, stlp, cfg_flex, key=k_d)
-        signal_base = specs.dense_signal_input(dense)
-        states = gt[:, 0]
-        params, scores, aux = run(batch["params"], states, signal_base,
-                                  dense["highlevel_dense"])
-        real = np.arange(i0, min(i0 + batch_size, n)) - i0
-        params_out[i0:i0 + len(real)] = np.asarray(params)[real]
-        scores_out[i0:i0 + len(real)] = np.asarray(scores)[real]
-        stlp_np = np.asarray(dense["stlp_dense"]).reshape(
-            batch_size, cfg.n_randoms, 3, 1, 6)
-        stlp_out[i0:i0 + len(real)] = stlp_np[real]
-        if verbose:
-            acc = float(jnp.mean((scores > 0).astype(jnp.float32)))
-            print(f"trajopt [{i0:5d}/{n}] loss={float(aux['loss']):.4f} "
-                  f"acc={acc:.3f}")
+    # --opt_epochs: optimization passes; epoch > 0 warm-starts from the
+    # previous epoch's optimum (reference epoch-loop trajopt branch,
+    # nusc_train.py:1303-1328)
+    for ep in range(max(epochs, 1)):
+        for i0 in range(0, n, batch_size):
+            idx = np.arange(i0, min(i0 + batch_size, n))
+            if len(idx) < batch_size:   # pad to keep shapes static
+                idx = np.concatenate([idx, idx[:batch_size - len(idx)]])
+            batch = {k: jnp.asarray(v) for k, v in ds.gather(idx).items()}
+            batch["neighbor_trajs_aug"] = batch["neighbors_traj"]
+            if ep > 0:
+                batch["params"] = jnp.asarray(params_out[idx])
+            gt = batch["ego_traj"][..., :4]
+            stlp = specs.calibrate_stlp(batch, gt, cfg_flex)
+            key, k_d = jax.random.split(key)
+            dense = specs.densify_batch(batch, stlp, cfg_flex, key=k_d)
+            signal_base = specs.dense_signal_input(dense, cfg=cfg)
+            states = gt[:, 0]
+            params, scores, aux = run(batch["params"], states, signal_base,
+                                      dense["highlevel_dense"])
+            real = np.arange(i0, min(i0 + batch_size, n)) - i0
+            params_out[i0:i0 + len(real)] = np.asarray(params)[real]
+            scores_out[i0:i0 + len(real)] = np.asarray(scores)[real]
+            stlp_np = np.asarray(dense["stlp_dense"]).reshape(
+                batch_size, cfg.n_randoms, 3, 1, 6)
+            stlp_out[i0:i0 + len(real)] = stlp_np[real]
+            if verbose:
+                acc = float(jnp.mean((scores > 0).astype(jnp.float32)))
+                print(f"trajopt [{ep}|{i0:5d}/{n}] "
+                      f"loss={float(aux['loss']):.4f} acc={acc:.3f}")
     ds.attach("params", params_out)
     ds.attach("tj_scores_prior", scores_out)
     ds.attach("pre_stlp", stlp_out)

@@ -9,7 +9,7 @@ from tests.test_diffusion import small_cfg, make_sampler_setup
 
 
 def test_ddim_shapes_and_determinism():
-    cfg = small_cfg(sampler="ddim", ddim_steps=5)
+    cfg = small_cfg(sampler="ddim", ddim_steps=5, diff_full=True)
     (apply_fn, dense, feature, states_flat, coeffs, formulas, signal_base,
      ctx, n) = make_sampler_setup(cfg)
     c, all_steps = diffusion.reverse_sample_ddim(
@@ -42,7 +42,7 @@ def test_ddim_eta_adds_noise():
 
 
 def test_sample_dispatch():
-    cfg = small_cfg(sampler="ddim", ddim_steps=4)
+    cfg = small_cfg(sampler="ddim", ddim_steps=4, diff_full=True)
     (apply_fn, dense, feature, states_flat, coeffs, formulas, signal_base,
      ctx, n) = make_sampler_setup(cfg)
     c, steps = diffusion.sample(jax.random.PRNGKey(0), apply_fn, dense,
@@ -54,3 +54,11 @@ def test_sample_dispatch():
                                   dense["highlevel_dense"], feature, cfg2,
                                   coeffs, n)
     assert steps2.shape[0] == cfg.diffusion_steps
+    # --diff_full off: only the final decode is retained
+    # (nusc_train.py:630)
+    cfg3 = cfg.with_(sampler="ddpm", diff_full=False)
+    c3, steps3 = diffusion.sample(jax.random.PRNGKey(0), apply_fn, dense,
+                                  dense["highlevel_dense"], feature, cfg3,
+                                  coeffs, n)
+    assert steps3.shape[0] == 1
+    np.testing.assert_allclose(np.asarray(c3), np.asarray(c2), atol=1e-6)

@@ -14,6 +14,7 @@ from tests.test_specs import make_batch
 
 def small_cfg(**kw):
     kw.setdefault("diffusion", True)
+    kw.setdefault("diff_full", True)
     kw.setdefault("n_randoms", 2)
     kw.setdefault("n_neighbors", 2)
     kw.setdefault("diffusion_steps", 10)
@@ -69,6 +70,7 @@ def test_prep_statistics():
 def make_sampler_setup(cfg, bs=1, guidance=False):
     batch = make_batch(cfg, bs=bs)
     batch["neighbors"] = batch["neighbor_trajs_aug"][:, :, 0, :]
+    batch["neighbors_traj"] = batch["neighbor_trajs_aug"]
     stlp = specs.calibrate_stlp(batch, batch["ego_traj"][..., :4], cfg)
     dense = specs.densify_batch(batch, stlp, cfg, key=jax.random.PRNGKey(0))
     n = bs * cfg.n_randoms * 3
@@ -88,7 +90,9 @@ def make_sampler_setup(cfg, bs=1, guidance=False):
     coeffs = diffusion.get_coeffs(cfg)
     formulas = specs.build_formulas(cfg)
     signal_base = specs.dense_signal_input(dense)
-    ctx = (signal_base, dense["highlevel_dense"], states_flat, formulas) \
+    score_rows = specs.make_score_rows(batch, dense, cfg)
+    ctx = diffusion.make_guidance_ctx(
+        score_rows, dense["valids_dense"].reshape(-1), states_flat) \
         if guidance else None
     return (apply_fn, dense, feature, states_flat, coeffs, formulas,
             signal_base, ctx, n)
@@ -164,9 +168,11 @@ def test_multi_cands_selection():
     _, all_steps = diffusion.reverse_sample(
         jax.random.PRNGKey(7), apply_fn, dense, dense["highlevel_dense"],
         feature, cfg, coeffs, n)
+    batch = make_batch(cfg, bs=1)   # same seed as make_sampler_setup
+    batch["neighbors_traj"] = batch["neighbor_trajs_aug"]
+    score_rows = specs.make_score_rows(batch, dense, cfg)
     best, best_scores = diffusion.select_multi_cands(
-        all_steps, 3, states_flat, signal_base, dense["highlevel_dense"],
-        formulas, cfg)
+        all_steps, 3, states_flat, score_rows, cfg)
     assert best.shape == (n, cfg.nt, 2)
     # best >= each candidate's score
     valid = signal_base["dense_valids"].reshape(-1)
@@ -193,3 +199,43 @@ def test_sampler_jits():
 
     c = run(jax.random.PRNGKey(0))
     assert np.all(np.isfinite(np.asarray(c)))
+
+
+def test_guidance_positive_offset_quirk_parity():
+    """Strict-parity mode pin (nusc_train.py:624-626): with the quirk ON,
+    the applied delta is clip(|mu'-mu|, beta) added POSITIVELY — for a
+    single Adam iteration from zero moments the update magnitude is
+    lr*|g|/(|g|+eps) ~= lr, so every coordinate with a nonzero gradient
+    moves by exactly +min(lr, beta) regardless of the gradient sign."""
+    cfg = small_cfg(guidance=True, guidance_niters=1, guidance_lr=0.01,
+                    guidance_positive_offset_quirk=True)
+    n, T = 6, cfg.nt
+    states_flat = jnp.zeros((n, 4)).at[:, 3].set(2.0)
+    valid = jnp.ones((n,))
+    # score = +-sum(u): gradient sign differs per row; scores << thres so
+    # the hinge is active everywhere
+    sign = jnp.asarray([1.0, -1.0] * 3)
+
+    def score_rows(ego):
+        # recover controls from the rollout states: d(theta)/dt, dv/dt
+        # (ego: (n, T, 4) states 0..T-1); depends smoothly on mu
+        return sign * jnp.sum(ego[..., 3], axis=-1) * 1e-3 - 10.0
+
+    ctx = diffusion.make_guidance_ctx(score_rows, valid, states_flat)
+    mu = jnp.zeros((n, T * 2))
+    beta = jnp.float32(0.004)
+    out = diffusion._guidance_step(mu, beta, ctx, cfg, maximize=False)
+    delta = np.asarray(out - mu)
+    # quirk: positive offset of min(lr, beta) on every driven coordinate
+    driven = np.abs(delta) > 1e-9
+    assert driven.any()
+    np.testing.assert_allclose(delta[driven], float(beta), rtol=1e-3)
+    assert (delta >= -1e-9).all()
+    # fixed (signed) variant: direction follows the per-row gradient sign
+    cfg2 = cfg.with_(guidance_positive_offset_quirk=False)
+    out2 = diffusion._guidance_step(mu, beta, ctx, cfg2, maximize=False)
+    d2 = np.asarray(out2 - mu)
+    # rows that want larger speed (sign=+1) get positive accel updates;
+    # rows with sign=-1 get negative ones on the same coordinates
+    a_cols = d2.reshape(n, T, 2)[..., 1]
+    assert (a_cols[0] >= -1e-9).all() and (a_cols[1] <= 1e-9).all()

@@ -1,6 +1,7 @@
 """Geometry kernels vs. numpy oracles."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pstl_tpu.ops import geometry as geom
@@ -125,3 +126,52 @@ def test_bbox_corners():
     assert corners.shape == (4, 2)
     np.testing.assert_allclose(np.sort(np.asarray(corners[:, 0])),
                                [-1.0, -1.0, 3.0, 3.0], atol=1e-6)
+
+
+class TestFusedClearance:
+    """min_clearance_pre (hoisted discs + d2-min + recompute VJP) must match
+    min_neighbor_distance in value and ego-gradient."""
+
+    def _data(self, n=6, K=5, T=7, seed=0):
+        rng = np.random.RandomState(seed)
+        ego = rng.randn(n, T, 3).astype(np.float32) * 5
+        nei = rng.randn(n, K, T, 6).astype(np.float32) * 5
+        nei[..., -2] = rng.uniform(3.5, 5.2, (n, K, T))
+        nei[..., -1] = rng.uniform(1.5, 2.1, (n, K, T))
+        valid = (rng.rand(n, K, T) > 0.3).astype(np.float32)
+        return jnp.asarray(ego), jnp.asarray(nei), jnp.asarray(valid)
+
+    def test_forward_matches(self):
+        ego, nei, valid = self._data()
+        ref = geom.min_neighbor_distance(ego, nei, valid, 4.084, 1.73,
+                                             num_L=4, num_W=1)
+        discs = geom.precompute_neighbor_discs(nei, valid, 4)
+        out = geom.min_clearance_pre(ego, discs, 4.084, 1.73, 4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradient_matches(self):
+        ego, nei, valid = self._data(seed=3)
+        discs = geom.precompute_neighbor_discs(nei, valid, 4)
+
+        def loss_ref(e):
+            return jnp.sum(jnp.sin(geom.min_neighbor_distance(
+                e, nei, valid, 4.084, 1.73, num_L=4, num_W=1)))
+
+        def loss_new(e):
+            return jnp.sum(jnp.sin(geom.min_clearance_pre(
+                e, discs, 4.084, 1.73, 4)))
+
+        g_ref = jax.grad(loss_ref)(ego)
+        g_new = jax.grad(loss_new)(ego)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_gradient_matches_4col_ego(self):
+        # ego rows often carry (x, y, th, v); v must get zero grad
+        ego, nei, valid = self._data(seed=5)
+        ego4 = jnp.concatenate([ego, jnp.ones(ego.shape[:-1] + (1,))], -1)
+        discs = geom.precompute_neighbor_discs(nei, valid, 4)
+        g = jax.grad(lambda e: jnp.sum(geom.min_clearance_pre(
+            e[..., :3], discs, 4.084, 1.73, 4)))(ego4)
+        assert np.all(np.asarray(g[..., 3]) == 0)

@@ -18,6 +18,7 @@ def setup():
                  flex=True).finalize().with_(epochs=1)
     bs = 2
     batch = make_batch(cfg, bs=bs)
+    batch["neighbors_traj"] = batch["neighbor_trajs_aug"]
     gt = batch["ego_traj"][..., :4]
     stlp = specs.calibrate_stlp(batch, gt, cfg)
     dense = specs.densify_batch(batch, stlp, cfg, key=jax.random.PRNGKey(0))
@@ -26,7 +27,10 @@ def setup():
     n = bs * cfg.n_randoms * 3
     states_flat = jnp.broadcast_to(gt[:, 0][:, None, None],
                                    (bs, cfg.n_randoms, 3, 4)).reshape(n, 4)
-    return cfg, dense, signal_base, formulas, states_flat, n
+    score_rows = specs.make_score_rows(batch, dense, cfg)
+    valid = dense["valids_dense"].reshape(-1)
+    return cfg, dense, signal_base, formulas, states_flat, n, score_rows, \
+        valid
 
 
 def mean_score(cfg, signal_base, formulas, dense, states_flat, u):
@@ -40,14 +44,13 @@ def mean_score(cfg, signal_base, formulas, dense, states_flat, u):
 
 
 def test_raw_refinement_improves(setup):
-    cfg, dense, signal_base, formulas, states_flat, n = setup
+    cfg, dense, signal_base, formulas, states_flat, n, score_rows, valid = setup
     rng = np.random.RandomState(0)
     u0 = jnp.asarray(rng.randn(n, cfg.nt, 2).astype(np.float32)
                      * np.array([0.1, 1.0], np.float32))
     s_before, _ = mean_score(cfg, signal_base, formulas, dense, states_flat,
                              u0)
-    u1 = refine.raw_refinement(u0, states_flat, signal_base,
-                               dense["highlevel_dense"], formulas, cfg,
+    u1 = refine.raw_refinement(u0, states_flat, score_rows, valid, cfg,
                                n_iters=30, lr=0.05)
     s_after, _ = mean_score(cfg, signal_base, formulas, dense, states_flat,
                             u1)
@@ -55,7 +58,7 @@ def test_raw_refinement_improves(setup):
 
 
 def test_convex_refinement_runs_and_not_worse(setup):
-    cfg, dense, signal_base, formulas, states_flat, n = setup
+    cfg, dense, signal_base, formulas, states_flat, n, score_rows, valid = setup
     rng = np.random.RandomState(1)
     # fake cached denoise steps (100, n, nt, 2)
     all_steps = jnp.asarray(rng.randn(100, n, cfg.nt, 2).astype(np.float32)
@@ -63,9 +66,8 @@ def test_convex_refinement_runs_and_not_worse(setup):
     u0 = all_steps[-1]
     s_before, _ = mean_score(cfg, signal_base, formulas, dense, states_flat,
                              u0)
-    u1 = refine.convex_refinement(u0, all_steps, states_flat, signal_base,
-                                  dense["highlevel_dense"], formulas, cfg,
-                                  K=6, n_iters=20)
+    u1 = refine.convex_refinement(u0, all_steps, states_flat, score_rows,
+                                  valid, cfg, K=6, n_iters=20)
     s_after, _ = mean_score(cfg, signal_base, formulas, dense, states_flat,
                             u1)
     assert np.isfinite(s_after)

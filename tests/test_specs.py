@@ -166,3 +166,98 @@ def test_mask_mean():
     x = jnp.asarray([1.0, 2.0, 3.0, 4.0])
     m = jnp.asarray([1.0, 1.0, 0.0, 0.0])
     np.testing.assert_allclose(float(specs.mask_mean(x, m)), 1.5, rtol=1e-6)
+
+
+class TestTiledScorer:
+    """TiledScorer must equal ClauseBank + per-row selection exactly."""
+
+    def _setup(self, norm_stl, seed=0, bs=3, M=4):
+        cfg = Config(diffusion=True, n_randoms=M, n_neighbors=3, nt=20,
+                     flex=True, norm_stl=norm_stl).finalize()
+        rng = np.random.RandomState(seed)
+        k, T, S = cfg.n_neighbors, cfg.nt, cfg.n_segs
+        batch = {
+            "neighbor_trajs_aug": jnp.asarray(
+                rng.randn(bs, k, T, 7).astype(np.float32) * 5),
+            "currlane_wpts": jnp.asarray(
+                rng.randn(bs, S, 3).astype(np.float32) * 3),
+            "leftlane_wpts": jnp.asarray(
+                rng.randn(bs, S, 3).astype(np.float32) * 3),
+            "rightlane_wpts": jnp.asarray(
+                rng.randn(bs, S, 3).astype(np.float32) * 3),
+            "curr_id": jnp.ones((bs, 1)),
+            "left_id": jnp.asarray((rng.rand(bs, 1) > .5).astype(np.float32)),
+            "right_id": jnp.asarray((rng.rand(bs, 1) > .5).astype(np.float32)),
+            "gt_high_level": jnp.asarray(
+                rng.randint(0, 3, (bs, 1)).astype(np.float32)),
+        }
+        batch["neighbor_trajs_aug"] = batch["neighbor_trajs_aug"].at[
+            ..., 0].set((rng.rand(bs, k, T) > 0.3).astype(np.float32))
+        gt_stlp = jnp.asarray(
+            np.stack([rng.uniform(0, 2, bs), rng.uniform(5, 9, bs),
+                      rng.uniform(-3, -1, bs), rng.uniform(1, 3, bs),
+                      rng.uniform(0.1, 1, bs), rng.uniform(0.2, 0.5, bs)],
+                     -1).astype(np.float32))
+        dense = specs.densify_batch(batch, gt_stlp, cfg,
+                                    key=jax.random.PRNGKey(seed))
+        N = bs * M * 3
+        trajs = jnp.asarray(rng.randn(N, T, 4).astype(np.float32) * 3)
+        return cfg, batch, dense, trajs
+
+    def _reference_scores(self, cfg, dense, trajs):
+        sig = specs.dense_signal_input(dense)
+        sig["ego_traj"] = trajs
+        formulas = specs.build_scorer(cfg)
+        _, scores, _ = specs.compute_scores(
+            sig, formulas, dense["highlevel_dense"],
+            dense["valids_dense"].reshape(-1), cfg)
+        return scores
+
+    def test_matches_clausebank(self):
+        for norm_stl in (False, True):
+            cfg, batch, dense, trajs = self._setup(norm_stl)
+            ref = self._reference_scores(cfg, dense, trajs)
+            scorer = specs.TiledScorer(batch, dense["stlp_dense"], cfg)
+            out = scorer(trajs)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_matches_hard(self):
+        cfg, batch, dense, trajs = self._setup(False, seed=2)
+        sig = specs.dense_signal_input(dense)
+        sig["ego_traj"] = trajs
+        formulas = specs.build_scorer(cfg)
+        _, ref, _ = specs.compute_scores(
+            sig, formulas, dense["highlevel_dense"],
+            dense["valids_dense"].reshape(-1), cfg, hard=True)
+        scorer = specs.TiledScorer(batch, dense["stlp_dense"], cfg)
+        out = scorer(trajs, hard=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradient_matches(self):
+        cfg, batch, dense, trajs = self._setup(True, seed=4)
+        scorer = specs.TiledScorer(batch, dense["stlp_dense"], cfg)
+        valid = dense["valids_dense"].reshape(-1)
+
+        def loss_new(tr):
+            return specs.mask_mean(jax.nn.relu(1.0 - scorer(tr)), valid)
+
+        def loss_ref(tr):
+            return specs.mask_mean(
+                jax.nn.relu(1.0 - self._reference_scores(cfg, dense, tr)),
+                valid)
+
+        g_new = jax.grad(loss_new)(trajs)
+        g_ref = jax.grad(loss_ref)(trajs)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   rtol=5e-3, atol=1e-5)
+
+    def test_vmap_over_candidates(self):
+        cfg, batch, dense, trajs = self._setup(False, seed=6)
+        scorer = specs.TiledScorer(batch, dense["stlp_dense"], cfg)
+        cands = jnp.stack([trajs, trajs * 1.01, trajs * 0.99])
+        out = jax.vmap(scorer)(cands)
+        ref = jnp.stack([scorer(c) for c in cands])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
