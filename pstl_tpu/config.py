@@ -246,29 +246,56 @@ def _p(**kw) -> Config:
 #: Named presets mirroring the reference README's e0..e8 experiment commands
 #: (README.md:54-202).
 PRESETS = {
-    # e0: data collection (NuScenes -> tensor cache)
+    # e0: data collection (NuScenes -> tensor cache)  (README.md:55-57)
     "e0_cache": _p(exp_name="e0_cache", collect_data=True),
     # e1: trajopt augmentation (64 seeds x 3 maneuvers, 2000 Adam iters)
     "e1_trajopt": _p(exp_name="e1_trajopt", trajopt_only=True),
-    # e3: VAE baseline on augmented data
-    "e3_vae": _p(exp_name="e3_vae", vae=True, load_tj=True, load_stlp=True,
+    # e2: VAE trained on GT controls only ("mono")  (README.md:84-86)
+    "e2_vae_mono": _p(exp_name="e2_vae_mono", vae=True,
+                      gt_data_training=True, bc_weight=1.0, stl_weight=0.0,
+                      load_stlp=True, flex=True),
+    # e3: VAE baseline on augmented data  (README.md:89-91)
+    "e3_vae": _p(exp_name="e3_vae", vae=True, bc_weight=1.0, stl_weight=0.0,
+                 use_init_hint=True, load_tj=True, load_stlp=True,
                  flex=True),
-    # e4: DDPM trained on GT controls only ("mono")
+    # e4: DDPM trained on GT controls only ("mono")  (README.md:94-96)
     "e4_ddpm_mono": _p(exp_name="e4_ddpm_mono", diffusion=True,
+                       stl_weight=0.0, load_stlp=True,
                        gt_data_training=True),
-    # e5: DDPM on augmented data
-    "e5_ddpm": _p(exp_name="e5_ddpm", diffusion=True, load_tj=True,
-                  load_stlp=True, flex=True),
-    # e7: ours = DDPM + RefineNet + DPP diversity + multi_cands
-    "e7_ours": _p(exp_name="e7_ours", diffusion=True, rect_head=True,
-                  diverse_loss=True, multi_cands=5, load_tj=True,
-                  load_stlp=True, flex=True),
-    # e8: STL-weight ablation
-    "e8_stl": _p(exp_name="e8_stl", diffusion=True, stl_weight=1.0,
-                 n_shards=4, load_tj=True, load_stlp=True, flex=True),
-    # ours + test-time STL guidance
-    "ours_guidance": _p(exp_name="ours_guidance", diffusion=True,
-                        rect_head=True, diverse_loss=True, multi_cands=10,
-                        guidance=True, n_rolls=3, load_tj=True,
+    # e5: DDPM on augmented data  (README.md:64)
+    "e5_ddpm": _p(exp_name="e5_ddpm", diffusion=True, stl_weight=0.0,
+                  load_tj=True, load_stlp=True, flex=True),
+    # e6: TrafficSim baseline (VAE + collision loss)  (README.md:101-103)
+    "e6_trafficsim": _p(exp_name="e6_trafficsim", vae=True, bc_weight=1.0,
+                        stl_weight=1.0, collision_loss=1.0, load_tj=True,
                         load_stlp=True, flex=True),
+    # e7: ours = DDPM + RefineNet + DPP diversity + multi_cands
+    # (README.md:66, trained from an e5 checkpoint via --ckpt)
+    "e7_ours": _p(exp_name="e7_ours", diffusion=True, stl_weight=0.0,
+                  rect_head=True, diverse_loss=True, multi_cands=5,
+                  load_tj=True, load_stlp=True, flex=True),
+    # e8: STL-weight ablation (L_STL, diversity off)  (README.md:77)
+    "e8_stl": _p(exp_name="e8_stl", diffusion=True, stl_weight=1.0,
+                 rect_head=True, diverse_loss=True, diversity_weight=0.0,
+                 multi_cands=5, n_shards=4, load_tj=True, load_stlp=True,
+                 flex=True),
+    # ours + guidance, open-loop flavor (README.md:115: multi_cands 10,
+    # guidance_before 10, niters 1, lr 0.01, n_rolls 3)
+    "ours_guidance": _p(exp_name="ours_guidance", diffusion=True,
+                        stl_weight=0.0, rect_head=True, diverse_loss=True,
+                        multi_cands=10, guidance=True, guidance_before=10,
+                        guidance_niters=1, guidance_lr=0.01, n_rolls=3,
+                        load_tj=True, load_stlp=True, flex=True),
+    # ours + guidance, closed-loop flavor (README.md:177: multi_cands 5,
+    # guidance_before 10, niters 1, lr 0.04)
+    "ours_guidance_sim": _p(exp_name="ours_guidance_sim", diffusion=True,
+                            stl_weight=0.0, rect_head=True,
+                            diverse_loss=True, multi_cands=5, guidance=True,
+                            guidance_before=10, guidance_niters=1,
+                            guidance_lr=0.04, load_tj=True, load_stlp=True,
+                            flex=True, test_scenes=True),
+    # CTG baseline: plain e5 DDPM + default guidance (all steps, 3 iters;
+    # README.md:160-163, 200-203)
+    "ctg": _p(exp_name="ctg", diffusion=True, stl_weight=0.0, guidance=True,
+              load_tj=True, load_stlp=True, flex=True),
 }

@@ -207,7 +207,8 @@ def _nn_metrics(nn, nn_controls, nn_trajs, valid, batch, cfg: Config):
 
 
 def run(cfg: Config, ds: SceneDataset, params, net: Optional[Net] = None,
-        n_trials: Optional[int] = None, log=print) -> Dict[str, float]:
+        n_trials: Optional[int] = None, log=print,
+        viz_dir: Optional[str] = None) -> Dict[str, float]:
     """Open-loop evaluation over the val split; returns averaged metrics."""
     # the reference's --run_sampling_test coupling (nusc_train.py:1789-1791)
     # forces extra_diversity on in eval mode; Net arch is unaffected
@@ -246,6 +247,21 @@ def run(cfg: Config, ds: SceneDataset, params, net: Optional[Net] = None,
             fn_sample(params, k, batch))
         dt = time.time() - t0
         nn = fn_metrics(nn, nn_controls, nn_trajs, valid, batch)
+        if viz_dir and bi == 0:
+            # paper figures for the first batch (plot_paper_scene,
+            # nusc_viz.py:111-202 / nusc_train.py:1145-1180)
+            from pstl_tpu import viz
+            import numpy as np
+            import os
+            S = cfg.sampling_size
+            bs_v = batch["ego_traj"].shape[0]
+            tr = np.asarray(nn_trajs[:, :-1]).reshape(bs_v, S, 3, cfg.nt, 4)
+            sc = np.asarray(nn["scores"]).reshape(bs_v, S, 3)
+            bnp = {k: np.asarray(v) for k, v in batch.items()}
+            for i in range(min(bs_v, 6)):
+                viz.plot_paper_scene(os.path.join(
+                    viz_dir, f"paper_scene{i:02d}.png"), bnp, i,
+                    nn_trajs=tr[i], nn_scores=sc[i])
         for name, d in (("tj", tj), ("nn", nn)):
             for met in ("acc", "scene_acc", "ade", "fde", "std", "vol",
                         "ent_ent_s", "ent_ent_wa", "area"):

@@ -391,49 +391,22 @@ def env_step(scene: SceneTensors, ego_state: Array, t: Array, u: Array,
 # episode runner
 # ---------------------------------------------------------------------------
 
-def run_closed_loop(key: Array, scenes: SceneTensors, cfg: Config, net: Net,
-                    params, formulas, coeffs, max_steps: int,
-                    measure_area: bool = False) -> Dict[str, Array]:
-    """Batched episodes as one jitted scan (replanning at every step).
+class Carry(NamedTuple):
+    """Closed-loop episode state (batched over scenes)."""
+    ego: Array          # (bs, 4)
+    t: Array            # (bs,) int
+    done: Array         # (bs,) bool
+    collide: Array
+    out_of_lane: Array
+    progress: Array
+    stl_acc_sum: Array
+    steps: Array
+    key: Array
 
-    scenes: stacked SceneTensors with leading batch dim bs.
-    Returns per-scene metrics: collide, out_of_lane, traj_len, progress,
-    stl_acc (mean over active steps), plus per-step diagnostics.
-    """
-    plan = make_planner(cfg, net, params, formulas, coeffs)
+
+def _init_carry(scenes: SceneTensors, key: Array) -> Carry:
     bs = scenes.ego_full.shape[0]
-
-    class Carry(NamedTuple):
-        ego: Array          # (bs, 4)
-        t: Array            # (bs,) int
-        done: Array         # (bs,) bool
-        collide: Array
-        out_of_lane: Array
-        progress: Array
-        stl_acc_sum: Array
-        steps: Array
-        key: Array
-
-    def body(c: Carry, _):
-        k, k_plan = jax.random.split(c.key)
-        obs = jax.vmap(lambda s, e, t: observe(s, e, t, cfg),
-                       in_axes=(0, 0, 0))(scenes, c.ego, c.t)
-        u0, info = plan(k_plan, obs)
-        new_ego, collide, ool, done_t = jax.vmap(
-            lambda s, e, t, u: env_step(s, e, t, u, cfg),
-            in_axes=(0, 0, 0, 0))(scenes, c.ego, c.t, u0)
-        active = ~c.done
-        ego = jnp.where(active[:, None], new_ego, c.ego)
-        prog = c.progress + active * c.ego[:, 3] * cfg.dt
-        coll = c.collide | (collide & active)
-        oolane = c.out_of_lane | (ool & active)
-        done = c.done | ((collide | ool | done_t) & active)
-        stl_sum = c.stl_acc_sum + active * info["stl_acc"]
-        steps = c.steps + active
-        t = jnp.where(active, c.t + 1, c.t)
-        return Carry(ego, t, done, coll, oolane, prog, stl_sum, steps, k), None
-
-    c0 = Carry(
+    return Carry(
         ego=scenes.ego_full[:, 0],
         t=jnp.zeros((bs,), jnp.int32),
         done=jnp.zeros((bs,), bool),
@@ -442,53 +415,13 @@ def run_closed_loop(key: Array, scenes: SceneTensors, cfg: Config, net: Net,
         progress=jnp.zeros((bs,)),
         stl_acc_sum=jnp.zeros((bs,)),
         steps=jnp.zeros((bs,)),
-        key=key,
-    )
-    c, _ = jax.lax.scan(body, c0, None, length=max_steps)
-    return _carry_metrics(c)
+        key=key)
 
 
-def _carry_metrics(c):
-    steps = jnp.maximum(c.steps, 1.0)
-    return {
-        "collide": c.collide.astype(jnp.float32),
-        "out_of_lane": c.out_of_lane.astype(jnp.float32),
-        "traj_len": c.steps,
-        "progress": c.progress,
-        "stl_acc": c.stl_acc_sum / steps,
-        "agent_steps": jnp.sum(c.steps),
-    }
+def _make_body(scenes: SceneTensors, cfg: Config, plan, with_info=False):
+    """The shared (observe -> plan -> env step -> metric update) body."""
 
-
-def make_closed_loop_step(scenes: SceneTensors, cfg: Config, net: Net,
-                          params, formulas, coeffs, with_info: bool = False,
-                          stlp_override=None):
-    """Host-driven variant: ONE jitted (observe -> plan -> env step ->
-    metrics update) program, called per replanning step from python.
-
-    Identical math to :func:`run_closed_loop`'s scan body, but compiled once
-    as a standalone program — the big scan graph compiles pathologically
-    slowly on some toolchains, while per-step host dispatch costs only the
-    launch latency (the whole step is still a single device program).
-    Returns (init_carry, step_fn) with step_fn: carry -> carry.
-    """
-    plan = make_planner(cfg, net, params, formulas, coeffs,
-                        stlp_override=stlp_override)
-    bs = scenes.ego_full.shape[0]
-
-    class Carry(NamedTuple):
-        ego: Array
-        t: Array
-        done: Array
-        collide: Array
-        out_of_lane: Array
-        progress: Array
-        stl_acc_sum: Array
-        steps: Array
-        key: Array
-
-    @jax.jit
-    def step(c: Carry):
+    def body(c: Carry):
         k, k_plan = jax.random.split(c.key)
         obs = jax.vmap(lambda s, e, t: observe(s, e, t, cfg),
                        in_axes=(0, 0, 0))(scenes, c.ego, c.t)
@@ -513,17 +446,61 @@ def make_closed_loop_step(scenes: SceneTensors, cfg: Config, net: Net,
             return carry, info
         return carry
 
+    return body
+
+
+def run_closed_loop(key: Array, scenes: SceneTensors, cfg: Config, net: Net,
+                    params, formulas, coeffs, max_steps: int,
+                    measure_area: bool = False) -> Dict[str, Array]:
+    """Batched episodes as one jitted scan (replanning at every step).
+
+    scenes: stacked SceneTensors with leading batch dim bs.
+    Returns per-scene metrics: collide, out_of_lane, traj_len, progress,
+    stl_acc (mean over active steps), plus per-step diagnostics.
+    """
+    plan = make_planner(cfg, net, params, formulas, coeffs)
+    body = _make_body(scenes, cfg, plan)
+    c, _ = jax.lax.scan(lambda c, _: (body(c), None),
+                        _init_carry(scenes, key), None, length=max_steps)
+    return _carry_metrics(c)
+
+
+def _carry_metrics(c):
+    steps = jnp.maximum(c.steps, 1.0)
+    return {
+        "collide": c.collide.astype(jnp.float32),
+        "out_of_lane": c.out_of_lane.astype(jnp.float32),
+        "traj_len": c.steps,
+        "progress": c.progress,
+        "stl_acc": c.stl_acc_sum / steps,
+        "agent_steps": jnp.sum(c.steps),
+    }
+
+
+def make_closed_loop_step(scenes: SceneTensors, cfg: Config, net: Net,
+                          params, formulas, coeffs, with_info: bool = False,
+                          stlp_override=None, chunk: int = 1):
+    """Host-driven variant: ONE jitted program per call, invoked from
+    python.  ``chunk`` > 1 runs that many replanning steps per program as a
+    ``lax.scan`` — the scan body compiles once, and host dispatch latency
+    (which dominates wall time through the device tunnel) amortizes across
+    the chunk.  with_info (per-step diagnostics for recording/rendering)
+    forces chunk=1.  Returns (init_carry, step_fn)."""
+    plan = make_planner(cfg, net, params, formulas, coeffs,
+                        stlp_override=stlp_override)
+    body = _make_body(scenes, cfg, plan, with_info=with_info)
+
+    if with_info or chunk <= 1:
+        step = jax.jit(body)
+    else:
+        @jax.jit
+        def step(c: Carry):
+            c, _ = jax.lax.scan(lambda c, _: (body(c), None), c, None,
+                                length=chunk)
+            return c
+
     def init_carry(key):
-        return Carry(
-            ego=scenes.ego_full[:, 0],
-            t=jnp.zeros((bs,), jnp.int32),
-            done=jnp.zeros((bs,), bool),
-            collide=jnp.zeros((bs,), bool),
-            out_of_lane=jnp.zeros((bs,), bool),
-            progress=jnp.zeros((bs,)),
-            stl_acc_sum=jnp.zeros((bs,)),
-            steps=jnp.zeros((bs,)),
-            key=key)
+        return _init_carry(scenes, key)
 
     return init_carry, step
 
@@ -532,26 +509,30 @@ def run_closed_loop_host(key: Array, scenes: SceneTensors, cfg: Config,
                          net: Net, params, formulas, coeffs,
                          max_steps: int, record: bool = False,
                          render_dir: Optional[str] = None,
-                         stlp_override=None) -> Dict[str, Array]:
+                         stlp_override=None, chunk: int = 1
+                         ) -> Dict[str, Array]:
     """Host-driven episode runner (same metrics as run_closed_loop).
 
     record=True additionally returns per-step ego history, plan trajectories
     and the per-step candidate-area diversity metric (Table-II "area",
     nusc_sim.py:714-735); render_dir writes closed-loop frames + GIFs.
+    chunk > 1 (ignored when recording) runs that many steps per dispatch.
     """
     import numpy as np
     from pstl_tpu import metrics as met
 
+    chunk = 1 if record else max(chunk, 1)
     init_carry, step = make_closed_loop_step(scenes, cfg, net, params,
                                              formulas, coeffs,
                                              with_info=record,
-                                             stlp_override=stlp_override)
+                                             stlp_override=stlp_override,
+                                             chunk=chunk)
     import time as _time
     c = init_carry(key)
     bs = scenes.ego_full.shape[0]
     hist = {"ego": [np.asarray(c.ego)], "plan": [], "area": [],
             "step_s": []}
-    for si in range(max_steps):
+    for si in range(max(max_steps // chunk, 1)):
         _t0 = _time.time()
         if record:
             c, info = step(c)

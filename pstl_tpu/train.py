@@ -550,13 +550,16 @@ def train(cfg: Config, ds: SceneDataset, mesh=None, log=print,
                             state, epi)
         if (cfg.exp_name and not cfg.no_viz
                 and (epi % cfg.viz_freq == 0 or epi == n_epochs - 1)):
-            _viz_epoch(cfg, ds, epi)
+            _viz_epoch(cfg, ds, epi, net=net, state=state,
+                       formulas=formulas, coeffs=coeffs)
     return state
 
 
-def _viz_epoch(cfg: Config, ds: SceneDataset, epi: int):
-    """Per-epoch scene plots (nusc_train.py:1598-1631 behavior): GT + the
-    trajopt candidate fan for the first val scenes."""
+def _viz_epoch(cfg: Config, ds: SceneDataset, epi: int, net=None, state=None,
+               formulas=None, coeffs=None, n_nn: int = 8):
+    """Per-epoch scene plots (``plot_nuscene_viz``, nusc_viz.py:204-339):
+    GT + the trajopt candidate fan + (for generative modes) a sampled model
+    candidate fan with per-maneuver satisfaction in the title."""
     try:
         from pstl_tpu import viz
         from pstl_tpu.ops import dynamics as dyn_
@@ -570,12 +573,52 @@ def _viz_epoch(cfg: Config, ds: SceneDataset, epi: int):
             states[:, None, None], (bs, cfg.n_randoms, 3, 4))
         trajs = np.asarray(dyn_.rollout(dense_states, params_col, cfg.dt))
         scores = batch.get("tj_scores_prior")
+        nn_trajs = nn_scores = None
+        if (state is not None and cfg.multi_check and cfg.diffusion
+                and formulas is not None):
+            nn_trajs, nn_scores = _viz_sample(cfg, net, state.params,
+                                              formulas, coeffs, batch, n_nn)
         for i in range(min(bs, cfg.num_viz)):
-            viz.save_scene(
+            viz.plot_training_viz(
                 os.path.join("exps", cfg.exp_name, "viz",
                              f"epoch{epi:04d}_scene{i:02d}.png"),
-                batch, i, cand_trajs=trajs[i],
-                cand_scores=(scores[i] if scores is not None else None),
-                title=f"epoch {epi} scene {i}")
+                batch, i, tj_trajs=trajs[i],
+                tj_scores=(np.asarray(scores[i]) if scores is not None
+                           else None),
+                nn_trajs=(nn_trajs[i] if nn_trajs is not None else None),
+                nn_scores=(nn_scores[i] if nn_scores is not None else None),
+                epoch=epi, split="val")
     except Exception as e:   # viz must never kill training
         print(f"[viz] skipped: {e}")
+
+
+def _viz_sample(cfg: Config, net, params, formulas, coeffs, batch, S: int):
+    """Sample S candidates per (scene, maneuver) for visualization."""
+    cfg_s = cfg.with_(n_randoms=S)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if not k.startswith("scene_")}
+    batch = attach_neighbors(batch, cfg_s)
+    gt_trajs = batch["ego_traj"][..., :4]
+    states = gt_trajs[:, 0, :4]
+    bs = states.shape[0]
+    n = bs * S * 3
+    key = jax.random.PRNGKey(7)
+    gt_stlp = specs.calibrate_stlp(batch, gt_trajs, cfg_s)
+    dense = specs.densify_batch(batch, gt_stlp, cfg_s, key=key)
+    ext0 = {"timestep": jnp.ones((n, 1)),
+            "highlevel": dense["highlevel_dense"],
+            "noise": jnp.zeros((n, cfg.nt * 2))}
+    _, feature = net.apply(params, dense, ext0, get_feature=True,
+                           n_randoms=S)
+    controls, _ = diffusion.sample(
+        key, lambda e: net.apply(params, dense, e, prev_feature=feature,
+                                 n_randoms=S),
+        dense, dense["highlevel_dense"], feature, cfg_s, coeffs, n)
+    states_flat = jnp.broadcast_to(states[:, None, None],
+                                   (bs, S, 3, 4)).reshape(n, 4)
+    trajs = dyn.rollout(states_flat, controls, cfg_s.dt)
+    score_rows = specs.make_score_rows(batch, dense, cfg_s, formulas,
+                                       n_randoms=S)
+    s = score_rows(trajs[:, :-1])
+    return (np.asarray(trajs[:, :-1]).reshape(bs, S, 3, cfg.nt, 4),
+            np.asarray(s).reshape(bs, S, 3))

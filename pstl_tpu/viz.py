@@ -87,6 +87,146 @@ def save_scene(path: str, *args, **kw):
     plt.close()
 
 
+ACTION_LABEL = {0: "keep", 1: "left-lane-change", 2: "right-lane-change",
+                3: "outlier"}
+
+
+def _drivable_backdrop(ax, batch, i):
+    """Render the scene's rasterized drivable area as the map backdrop
+    (stand-in for the reference's nusc_map.render_map_patch)."""
+    if "scene_drivable" not in batch:
+        return False
+    mask = np.asarray(batch["scene_drivable"][i])
+    ox, oy = np.asarray(batch["scene_drivable_origin"][i])
+    res = float(batch["scene_drivable_res"][i])
+    H, W = mask.shape
+    ax.imshow(mask, origin="lower", cmap="Greys", alpha=0.15,
+              extent=(ox, ox + W * res, oy, oy + H * res), zorder=0)
+    return True
+
+
+def plot_paper_scene(path: str, batch: Dict[str, np.ndarray], i: int,
+                     nn_trajs: Optional[np.ndarray] = None,
+                     nn_scores: Optional[np.ndarray] = None,
+                     ego_only: bool = False, r: float = 50.0,
+                     delta_r: float = 15.0):
+    """Paper figure (``plot_paper_scene``, nusc_viz.py:111-202): clean
+    ego-centered patch shifted ``delta_r`` ahead of the ego heading, the
+    drivable backdrop, bold neighbor/ego boxes, candidate trajectories with
+    satisfying candidates solid and violating ones faint, no axes.
+
+    nn_trajs: (M, 3, T, >=2); nn_scores: (M, 3).
+    """
+    fig, ax = plt.subplots(figsize=(8, 8))
+    _drivable_backdrop(ax, batch, i)
+    for key, color in (("currlane_wpts", "#9ecae1"),
+                       ("leftlane_wpts", "#a1d99b"),
+                       ("rightlane_wpts", "#fcae91")):
+        idk = {"currlane_wpts": "curr_id", "leftlane_wpts": "left_id",
+               "rightlane_wpts": "right_id"}[key]
+        if batch[idk][i, 0] > 0.5:
+            lane = batch[key][i]
+            ax.plot(lane[:, 0], lane[:, 1], color=color, lw=7, alpha=0.5,
+                    zorder=1, solid_capstyle="round")
+    neis = batch["neighbors"][i] if "neighbors" in batch \
+        else batch["neighbors_traj"][i][:, 0]
+    if not ego_only:
+        for nei in neis:
+            if nei[0] > 0.5:
+                plot_agent(ax, nei[1:3], nei[3], nei[5], nei[6],
+                           color=COLOR_NEI, alpha=0.9)
+    ego = batch["ego_traj"][i]
+    if nn_trajs is not None:
+        for m in range(nn_trajs.shape[0]):
+            for k in range(3):
+                sat = nn_scores is None or nn_scores[m, k] > 0
+                ax.plot(nn_trajs[m, k, :, 0], nn_trajs[m, k, :, 1], "-",
+                        color=COLOR_MODES[k], lw=2.2 if sat else 0.8,
+                        alpha=0.85 if sat else 0.2, zorder=800,
+                        solid_capstyle="round")
+    plot_agent(ax, ego[0, :2], ego[0, 2], ego[0, 4], ego[0, 5],
+               color=COLOR_AGENT)
+    cx = ego[0, 0] + delta_r * np.cos(ego[0, 2])
+    cy = ego[0, 1] + delta_r * np.sin(ego[0, 2])
+    ax.set_xlim(cx - r, cx + r)
+    ax.set_ylim(cy - r, cy + r)
+    ax.set_aspect("equal")
+    ax.set_xticks([])
+    ax.set_yticks([])
+    for sp in ax.spines.values():
+        sp.set_visible(False)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    plt.savefig(path, bbox_inches="tight", pad_inches=0.05, dpi=150)
+    plt.close(fig)
+
+
+def plot_training_viz(path: str, batch: Dict[str, np.ndarray], i: int,
+                      tj_trajs: Optional[np.ndarray] = None,
+                      tj_scores: Optional[np.ndarray] = None,
+                      nn_trajs: Optional[np.ndarray] = None,
+                      nn_scores: Optional[np.ndarray] = None,
+                      epoch: int = 0, split: str = "train",
+                      r: float = 50.0):
+    """Per-epoch training scene viz (``plot_nuscene_viz``,
+    nusc_viz.py:204-339): lanes in blue/green/red, neighbors, GT, the
+    trajopt candidate fan and (when given) the model candidate fan colored
+    by maneuver with dashed violating candidates; title carries the action
+    label + per-set satisfaction.
+
+    tj/nn_trajs: (M, 3, T, >=2); tj/nn_scores: (M, 3).
+    """
+    fig, ax = plt.subplots(figsize=(8, 8))
+    _drivable_backdrop(ax, batch, i)
+    for key, color in (("currlane_wpts", "blue"), ("leftlane_wpts", "green"),
+                       ("rightlane_wpts", "red")):
+        idk = {"currlane_wpts": "curr_id", "leftlane_wpts": "left_id",
+               "rightlane_wpts": "right_id"}[key]
+        if batch[idk][i, 0] > 0.5:
+            lane = batch[key][i]
+            ax.plot(lane[:, 0], lane[:, 1], color=color, lw=6, alpha=0.4,
+                    label=key.replace("_wpts", ""))
+    neis = batch["neighbors"][i] if "neighbors" in batch \
+        else batch["neighbors_traj"][i][:, 0]
+    for nei in neis:
+        if nei[0] > 0.5:
+            plot_agent(ax, nei[1:3], nei[3], nei[5] * 1.2, nei[6] * 1.2,
+                       color="brown", alpha=0.3)
+    ego = batch["ego_traj"][i]
+    plot_agent(ax, ego[0, :2], ego[0, 2], ego[0, 4], ego[0, 5])
+    ax.plot(ego[:, 0], ego[:, 1], "c-", lw=2.5, zorder=900, label="GT")
+
+    def fan(trajs, scores, lw, alpha):
+        accs = []
+        for k in range(3):
+            sat = (scores[:, k] > 0) if scores is not None \
+                else np.ones(trajs.shape[0], bool)
+            accs.append(float(np.mean(sat)))
+            for m in range(trajs.shape[0]):
+                ax.plot(trajs[m, k, :, 0], trajs[m, k, :, 1],
+                        "-" if sat[m] else ":", color=COLOR_MODES[k],
+                        lw=lw, alpha=alpha)
+        return accs
+
+    title = f"{split} ep{epoch}"
+    if "gt_high_level" in batch:
+        hl = int(batch["gt_high_level"][i, 0])
+        title += f" [{ACTION_LABEL.get(hl, hl)}]"
+    if tj_trajs is not None:
+        accs = fan(tj_trajs, tj_scores, 0.7, 0.45)
+        title += " tj:" + "/".join(f"{a:.2f}" for a in accs)
+    if nn_trajs is not None:
+        accs = fan(nn_trajs, nn_scores, 1.4, 0.8)
+        title += " nn:" + "/".join(f"{a:.2f}" for a in accs)
+    ax.set_xlim(ego[0, 0] - r, ego[0, 0] + r)
+    ax.set_ylim(ego[0, 1] - r, ego[0, 1] + r)
+    ax.set_aspect("equal")
+    ax.set_title(title)
+    ax.legend(loc="upper right", fontsize=8)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    plt.savefig(path, bbox_inches="tight", pad_inches=0.1)
+    plt.close(fig)
+
+
 def plot_control_histograms(controls: np.ndarray, path: str):
     """Steer/accel histograms (nusc_viz.py:44-96)."""
     fig, axes = plt.subplots(1, 2, figsize=(10, 4))

@@ -51,3 +51,24 @@ def test_closed_loop_frame_and_gif(scene_np, tmp_path):
     gif = str(tmp_path / "ep.gif")
     viz.generate_gif(gif, frames)
     assert os.path.getsize(gif) > 100
+
+
+def test_paper_and_training_viz(tmp_path):
+    import numpy as np
+    from pstl_tpu import viz
+    from pstl_tpu.config import Config
+    from pstl_tpu.data import synthetic
+    cfg = Config(n_neighbors=2, n_randoms=2)
+    data = synthetic.generate_dataset(0, 2, cfg, scene_len=24)
+    rng = np.random.RandomState(0)
+    M, T = 3, cfg.nt
+    trajs = np.cumsum(rng.randn(M, 3, T, 4) * 0.3, axis=2) \
+        + data["ego_traj"][0, 0, :4]
+    scores = rng.randn(M, 3)
+    p1 = str(tmp_path / "paper.png")
+    viz.plot_paper_scene(p1, data, 0, nn_trajs=trajs, nn_scores=scores)
+    p2 = str(tmp_path / "train.png")
+    viz.plot_training_viz(p2, data, 0, tj_trajs=trajs, tj_scores=scores,
+                          nn_trajs=trajs, nn_scores=scores, epoch=3)
+    import os
+    assert os.path.getsize(p1) > 5000 and os.path.getsize(p2) > 5000
