@@ -180,6 +180,10 @@ class Config:
     # back to ClauseBank over pre-tiled signals
     tiled_scorer: bool = True
     use_pallas_clearance: bool = False        # fused min-clearance kernel
+    # serve training batches from the C++ mmap shard store (thread-pool
+    # gather + double-buffered prefetch) instead of numpy slicing — the
+    # native replacement for the reference's DataLoader(num_workers=8)
+    use_shard_store: bool = False
     time_profile: bool = False
 
     # ------------------------------------------------------------------

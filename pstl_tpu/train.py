@@ -496,14 +496,39 @@ def train(cfg: Config, ds: SceneDataset, mesh=None, log=print,
 
     from pstl_tpu.utils.meters import EtaEstimator
     n_epochs = epochs if epochs is not None else cfg.epochs
+
+    store = None
+    if cfg.use_shard_store:
+        # native data path: mmap column store + C++ thread-pool gather with
+        # double-buffered prefetch (replaces DataLoader(num_workers=8))
+        from pstl_tpu.data.dataset import (shard_store_iterator,
+                                           to_shard_store)
+        from pstl_tpu.runtime import ShardStore
+        sdir = os.path.join("exps", cfg.exp_name or "_tmp", "shard_store")
+        if not os.path.exists(os.path.join(sdir, "meta.json")):
+            to_shard_store(ds, sdir)
+        store = ShardStore(sdir)
+        store_cols = tuple(
+            c for c in store.columns
+            if c.startswith(("ego", "neighbors", "curr", "left", "right",
+                             "gt_", "params", "tj_scores", "pre_stlp")))
+
+    def make_iter(mode, epi):
+        if store is not None:
+            return shard_store_iterator(store, ds, mode, cfg.batch_size,
+                                        shuffle=(mode == "train"),
+                                        seed=cfg.seed, epoch=epi,
+                                        columns=store_cols)
+        return batch_iterator(ds, mode, cfg.batch_size,
+                              shuffle=(mode == "train"), seed=cfg.seed,
+                              epoch=epi)
+
     eta = EtaEstimator(n_epochs, ds.split_len("train") // cfg.batch_size,
                        ds.split_len("val") // cfg.batch_size, cfg.viz_freq)
     for epi in range(n_epochs):
         for mode in ("train", "val"):
             md = MeterDict()
-            it = batch_iterator(ds, mode, cfg.batch_size,
-                                shuffle=(mode == "train"), seed=cfg.seed,
-                                epoch=epi)
+            it = make_iter(mode, epi)
             t0 = time.time()
             bi = -1
             timer = Timer() if cfg.time_profile else None

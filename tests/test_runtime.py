@@ -96,3 +96,24 @@ def test_split_file_roundtrip(tmp_path):
     ds.load_split(p)
     for k in old:
         np.testing.assert_array_equal(ds.splits[k], old[k])
+
+
+def test_train_epoch_via_shard_store(tmp_path, monkeypatch):
+    """cfg.use_shard_store: one training epoch served entirely by the C++
+    gather/prefetch path produces finite losses."""
+    import jax
+    from pstl_tpu import train
+    from pstl_tpu.config import Config
+    from pstl_tpu.data.dataset import SceneDataset
+
+    monkeypatch.chdir(tmp_path)
+    cfg = Config(diffusion=True, diffusion_steps=4, n_randoms=2,
+                 n_neighbors=2, batch_size=4, compute_dtype="float32",
+                 use_shard_store=True, epochs=1,
+                 train_ratio=0.5).finalize()
+    ds = SceneDataset.from_synthetic(cfg, n_scenes=16)
+    ds.ensure_random_params(0)
+    logs = []
+    state = train.train(cfg, ds, log=logs.append, epochs=1)
+    assert state.step > 0
+    assert any("train" in l for l in logs)
