@@ -349,34 +349,48 @@ class TiledScorer:
             cfg.ego_W, cfg.refined_nL).reshape(bs, M, 3, cfg.nt)
         alw_safe = self._alw((mnd - P(I_DSAFE)) / _u(self.sf), tau, hard)
 
-        # per-maneuver lane clauses: ONE lane per row
-        pair = lambda a, b: stl.soft_min(jnp.stack([a, b], -1), tau,
-                                         axis=-1, hard=hard,
-                                         dtype=self.dtype)
-        scores = []
-        for j in range(3):
-            d, th = geom.point_to_polyline(
-                ego[:, :, j, :, :3], self.lanes[j][:, None],
-                clip=cfg.clip_dist, with_angle=True, inline=cfg.inline)
-            Pj = lambda i: stlp[:, :, j, i:i + 1]             # (bs, M, 1)
-            dfj, thfj = _sel(self.df, j), None
-            if j == 0:
-                clauses = [alw_vmin[:, :, 0], alw_vmax[:, :, 0],
-                           self._alw((d - Pj(I_DMIN)) / dfj, tau, hard),
-                           self._alw((-d + Pj(I_DMAX)) / dfj, tau, hard),
-                           self._alw((Pj(I_THMAX) - th) / Pj(I_THMAX), tau,
-                                     hard),
-                           alw_safe[:, :, 0]]
-            else:
-                g_d = pair((d - Pj(I_DMIN)) / dfj, (-d + Pj(I_DMAX)) / dfj)
-                clauses = [alw_vmin[:, :, j], alw_vmax[:, :, j],
-                           self._ev_alw(g_d, tau, hard),
-                           self._ev_alw((Pj(I_THMAX) - th) / Pj(I_THMAX),
-                                        tau, hard),
-                           alw_safe[:, :, j]]
-            scores.append(stl.soft_min(jnp.stack(clauses, -1), tau, axis=-1,
-                                       hard=hard, dtype=self.dtype))
-        return jnp.stack(scores, axis=-1).reshape(bs * R)     # (N,)
+        # per-maneuver lane clauses, ONE lane per row — all three maneuvers
+        # in a single batched polyline call ((bs, 3, M, T) leading dims) so
+        # each kernel is 3x larger instead of 3x more numerous
+        ego_j = jnp.swapaxes(ego[..., :3], 1, 2)        # (bs, 3, M, T, 3)
+        lanes_j = jnp.stack(self.lanes, axis=1)[:, :, None]  # (bs, 3, 1, S, 3)
+        d_all, th_all = geom.point_to_polyline(
+            ego_j, lanes_j, clip=cfg.clip_dist, with_angle=True,
+            inline=cfg.inline)                           # (bs, 3, M, T)
+        Pj = lambda i: jnp.swapaxes(stlp[..., i:i + 1], 1, 2)  # (bs,3,M,1)
+        dfj = jnp.swapaxes(self.df, 1, 2)[..., None] \
+            if hasattr(self.df, "ndim") else self.df     # (bs, 3, M, 1)
+
+        g_dmin = (d_all - Pj(I_DMIN)) / dfj
+        g_dmax = (-d_all + Pj(I_DMAX)) / dfj
+        g_th = (Pj(I_THMAX) - th_all) / Pj(I_THMAX)
+
+        # keep (j=0): Always on dmin/dmax/th over the curr lane
+        alw_keep = self._alw(jnp.stack([g_dmin[:, 0], g_dmax[:, 0],
+                                        g_th[:, 0]], axis=-2), tau, hard)
+        s_keep = stl.soft_min(
+            jnp.stack([alw_vmin[:, :, 0], alw_vmax[:, :, 0],
+                       alw_keep[:, :, 0], alw_keep[:, :, 1],
+                       alw_keep[:, :, 2],
+                       alw_safe[:, :, 0]], -1),
+            tau, axis=-1, hard=hard, dtype=self.dtype)
+
+        # change (j=1,2): Eventually-Always of the d-band pair and the
+        # heading clause over the side lanes — batched over j
+        g_band = stl.soft_min(jnp.stack([g_dmin[:, 1:], g_dmax[:, 1:]], -1),
+                              tau, axis=-1, hard=hard, dtype=self.dtype)
+        ev_d = self._ev_alw(g_band, tau, hard)           # (bs, 2, M)
+        ev_th = self._ev_alw(g_th[:, 1:], tau, hard)
+        vmin_j = jnp.moveaxis(alw_vmin[:, :, 1:], -1, 1)  # (bs, 2, M)
+        vmax_j = jnp.moveaxis(alw_vmax[:, :, 1:], -1, 1)
+        safe_j = jnp.moveaxis(alw_safe[:, :, 1:], -1, 1)
+        s_change = stl.soft_min(
+            jnp.stack([vmin_j, vmax_j, ev_d, ev_th, safe_j], -1),
+            tau, axis=-1, hard=hard, dtype=self.dtype)    # (bs, 2, M)
+
+        scores = jnp.stack([s_keep, s_change[:, 0], s_change[:, 1]],
+                           axis=-1)                       # (bs, M, 3)
+        return scores.reshape(bs * R)                     # (N,)
 
 
 def make_score_rows(batch: Dict[str, Array], dense: Dict[str, Array],

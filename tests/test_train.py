@@ -144,3 +144,44 @@ def test_mono_gt_data_training():
     state, rd = step(state, batch, jax.random.PRNGKey(5))
     assert np.isfinite(float(rd["loss"]))
     assert "loss_diffusion" in rd and "loss_stl" in rd
+
+
+def test_gt_nei_false_uses_const_velocity_prediction():
+    """gt_nei=False replaces GT neighbor tracks with constant-velocity
+    rollouts from the current frame (nusc_train.py:1262-1265)."""
+    import jax.numpy as jnp
+    from pstl_tpu.train import attach_neighbors
+    from pstl_tpu.config import Config
+    cfg = Config(nt=6, dt=0.5, n_neighbors=2)
+    rng = np.random.RandomState(0)
+    nt = rng.randn(3, 2, 6, 7).astype(np.float32)
+    nt[..., 0] = 1.0
+    batch = {"neighbors_traj": jnp.asarray(nt)}
+    gt = attach_neighbors(batch, cfg.with_(gt_nei=True))
+    np.testing.assert_allclose(np.asarray(gt["neighbor_trajs_aug"]), nt)
+    cv = attach_neighbors(batch, cfg.with_(gt_nei=False))
+    aug = np.asarray(cv["neighbor_trajs_aug"])
+    assert aug.shape == (3, 2, 6, 7)
+    # heading/speed constant along the const-vel rollout
+    np.testing.assert_allclose(aug[..., 3], aug[..., 0:1, 3] * np.ones((1, 1, 6)),
+                               rtol=1e-5)
+    # x advances by v*cos(th)*dt each step
+    expect_dx = aug[:, :, 0, 4] * np.cos(aug[:, :, 0, 3]) * cfg.dt
+    np.testing.assert_allclose(aug[:, :, 1, 1] - aug[:, :, 0, 1], expect_dx,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_grad_rollout_trains_through_sampler():
+    """--grad_rollout without rect_head runs the sampler inside the loss
+    with gradients flowing (loss_stl non-zero weight in the total)."""
+    import jax
+    from pstl_tpu.config import Config
+    from pstl_tpu.data.dataset import SceneDataset, batch_iterator
+    cfg = Config(diffusion=True, grad_rollout=True, diffusion_steps=4,
+                 n_randoms=2, n_neighbors=2, batch_size=4,
+                 compute_dtype="float32", train_ratio=0.5).finalize()
+    ds = SceneDataset.from_synthetic(cfg, n_scenes=8)
+    ds.ensure_random_params(0)
+    from pstl_tpu import train as tr
+    state = tr.train(cfg, ds, log=lambda *a: None, epochs=1)
+    assert int(state.step) > 0
