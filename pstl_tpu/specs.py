@@ -426,11 +426,6 @@ def _u(f):
     return f[..., None] if hasattr(f, "ndim") and f.ndim == 3 else f
 
 
-def _sel(f, j):
-    """Select maneuver j of a (bs, M, 3) factor for (bs, M, T) broadcasting."""
-    return f[:, :, j, None] if hasattr(f, "ndim") and f.ndim == 3 else f
-
-
 def select_scores(scores_list: Sequence[Array], stl_idx: Array) -> Array:
     """Per-row formula selection incl. outlier class 3 -> +1
     (nusc_train.py:150-151, 322)."""

@@ -78,3 +78,32 @@ def test_cli_check_smoke(tmp_path, capsys, monkeypatch):
               "--set", "n_randoms=2", "n_neighbors=2", "batch_size=4"])
     out = capsys.readouterr().out
     assert "ACC:" in out
+
+
+def test_cli_sim_test_aggressive(tmp_path, capsys, monkeypatch):
+    """--test_aggressive: 3 repeats of one scene under the per-episode
+    aggressive stlp presets (nusc_sim.py:444-465)."""
+    monkeypatch.chdir(tmp_path)
+    cli.main(["sim", "--scenes", "1", "--scene-len", "8", "--steps", "2",
+              "--set", "n_randoms=2", "n_neighbors=2", "diffusion=true",
+              "diffusion_steps=4", "compute_dtype=float32",
+              "batch_size=2", "test_aggressive=true"])
+    out = capsys.readouterr().out
+    res = json.loads(out[out.index("{"):])
+    assert '"collide"' in out
+    # agent_steps counts 3 episodes (the tripled scene)
+    assert res["traj_len"] >= 0 and res["agent_steps"] <= 3 * 2
+
+
+def test_new_round2_presets():
+    for name in ("e2_vae_mono", "e6_trafficsim", "ctg", "ours_guidance_sim"):
+        assert name in PRESETS, name
+    e2 = PRESETS["e2_vae_mono"]
+    assert e2.vae and e2.gt_data_training and e2.bc_weight == 1.0
+    e6 = PRESETS["e6_trafficsim"]
+    assert e6.vae and e6.collision_loss == 1.0 and e6.stl_weight == 1.0
+    ctg = PRESETS["ctg"]
+    assert ctg.guidance and not ctg.rect_head
+    ogs = PRESETS["ours_guidance_sim"]
+    assert ogs.guidance_before == 10 and ogs.guidance_niters == 1 \
+        and ogs.guidance_lr == 0.04 and ogs.test_scenes
