@@ -506,7 +506,12 @@ def extract_scene(adapter: MapAdapter, ego_full: np.ndarray,
         return samples, None
     center_dense = resample_polyline(full0[:, :2], 200)
     mid = ego_full[:, :2].mean(axis=0)
-    mask = adapter.drivable_mask(mid, raster_half, raster_res)
+    # the patch must cover wherever the sim ego can plausibly drive: the GT
+    # corridor extent plus margin (outside the patch counts as off-road)
+    extent = float(np.abs(np.concatenate(
+        [ego_full[:, :2] - mid, center_dense[:, :2] - mid])).max())
+    half = max(raster_half, extent + 25.0)
+    mask = adapter.drivable_mask(mid, half, raster_res)
     first = samples[0]
     scene_rec = {
         "scene_ego_full": ego_full.astype(np.float32),
@@ -518,7 +523,7 @@ def extract_scene(adapter: MapAdapter, ego_full: np.ndarray,
         "scene_len": np.array(max(L - nt - 2, 1), np.int32),
         "scene_drivable": mask.astype(np.bool_),
         "scene_drivable_origin": np.array(
-            [mid[0] - raster_half, mid[1] - raster_half], np.float32),
+            [mid[0] - half, mid[1] - half], np.float32),
         "scene_drivable_res": np.array(raster_res, np.float32),
     }
     return samples, scene_rec
