@@ -81,10 +81,14 @@ def main():
         return net.init(key, dense0, ext0, method=Net.init_all)
 
     params = init_params(jax.random.PRNGKey(1))
-    default_ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "checkpoints", "e7_round1")
-    ckpt = os.environ.get("BENCH_CKPT") or (
-        default_ckpt if os.path.isdir(default_ckpt) else None)
+    here = os.path.dirname(os.path.abspath(__file__))
+    ckpt = os.environ.get("BENCH_CKPT")
+    if not ckpt:   # newest committed checkpoint wins
+        for name in ("e7_round2", "e7_round1"):
+            cand = os.path.join(here, "checkpoints", name)
+            if os.path.isdir(cand):
+                ckpt = cand
+                break
     if ckpt:
         from pstl_tpu import train as _train
         state = _train.TrainState(params, None, 0)

@@ -175,6 +175,17 @@ def observe(scene: SceneTensors, ego_state: Array, t: Array,
     ego_traj = jnp.concatenate(
         [ego_traj, jnp.full((nt, 1), cfg.ego_L), jnp.full((nt, 1), cfg.ego_W)],
         axis=-1)
+    # per-step high-level re-labeling around the SIMULATED pose (the
+    # reference re-queries get_high_level_behaviors each sim step,
+    # nusc_sim.py:148-156): label by the current lateral offset from the
+    # re-windowed centerline — keep inside +-half-lane, else the side the
+    # ego has drifted to (subject to that lane existing)
+    d0 = geom.point_to_polyline(ego_state[None, None, :3], curr[None])[0, 0]
+    hl = jnp.where(d0 > LANE_OFFSET / 2,
+                   jnp.where(scene.lane_valids[1] > 0.5, 1.0, 0.0),
+                   jnp.where(d0 < -LANE_OFFSET / 2,
+                             jnp.where(scene.lane_valids[2] > 0.5, 2.0, 0.0),
+                             0.0))
     return {
         "ego_traj": ego_traj,
         "neighbors": nei_win[:, 0],
@@ -186,7 +197,7 @@ def observe(scene: SceneTensors, ego_state: Array, t: Array,
         "curr_id": scene.lane_valids[0:1],
         "left_id": scene.lane_valids[1:2],
         "right_id": scene.lane_valids[2:3],
-        "gt_high_level": jnp.zeros((1,)),
+        "gt_high_level": hl[None],
     }
 
 
