@@ -245,19 +245,33 @@ def make_planner(cfg: Config, net: Net, params, formulas,
             acc = specs.mask_mean((s > 0).astype(jnp.float32), valid)
             return s, acc, trajs
 
-        ext0 = {"timestep": jnp.ones((n, 1)), "highlevel": highlevel,
-                "noise": jnp.zeros((n, cfg.nt * 2))}
-        _, feature = net.apply(params, dense, ext0, get_feature=True)
+        if cfg.diffusion:
+            ext0 = {"timestep": jnp.ones((n, 1)), "highlevel": highlevel,
+                    "noise": jnp.zeros((n, cfg.nt * 2))}
+            _, feature = net.apply(params, dense, ext0, get_feature=True)
 
-        def apply_fn(e):
-            return net.apply(params, dense, e, prev_feature=feature)
+            def apply_fn(e):
+                return net.apply(params, dense, e, prev_feature=feature)
 
-        guidance_ctx = (diffusion.make_guidance_ctx(score_rows, valid,
-                                                    states_flat)
-                        if cfg.guidance else None)
-        nn_controls, all_steps = diffusion.sample(
-            k_sample, apply_fn, dense, highlevel, feature, cfg, coeffs, n,
-            guidance_ctx=guidance_ctx, maximize=True)
+            guidance_ctx = (diffusion.make_guidance_ctx(score_rows, valid,
+                                                        states_flat)
+                            if cfg.guidance else None)
+            nn_controls, all_steps = diffusion.sample(
+                k_sample, apply_fn, dense, highlevel, feature, cfg, coeffs,
+                n, guidance_ctx=guidance_ctx, maximize=True)
+        elif cfg.vae:
+            # VAE / TrafficSim closed-loop rows (nusc_sim.py model dispatch):
+            # sample the prior latent directly
+            z = jax.random.normal(k_sample, (n, cfg.vae_dim))
+            nn_controls, _ = net.apply(params, dense,
+                                       {"highlevel": highlevel}, sample=z,
+                                       get_feature=False)
+            feature = None
+            all_steps = nn_controls[None]
+        else:   # bc
+            nn_controls = net.apply(params, dense, {"highlevel": highlevel})
+            feature = None
+            all_steps = nn_controls[None]
 
         if cfg.rect_head and not cfg.not_use_rect:
             if cfg.multi_cands is not None:

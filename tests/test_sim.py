@@ -132,3 +132,28 @@ def test_closed_loop_episode_runs(setup):
     assert float(out["agent_steps"]) > 0
     assert np.all(np.asarray(out["traj_len"]) <= 4)
     assert np.all(np.isfinite(np.asarray(out["progress"])))
+
+
+def test_closed_loop_vae_planner():
+    """VAE (e3/e6 Table-II rows) drives the closed-loop planner."""
+    import jax
+    from pstl_tpu import diffusion as diff, sim, specs, train
+    from pstl_tpu.data import synthetic
+    from pstl_tpu.data.dataset import SceneDataset, batch_iterator
+    from pstl_tpu.models import Net
+
+    cfg = Config(vae=True, bc_weight=1.0, vae_dim=8, n_randoms=2,
+                 n_neighbors=2, compute_dtype="float32",
+                 flex=True).finalize().with_(epochs=1, test=True)
+    data = synthetic.generate_dataset(5, 2, cfg, scene_len=12)
+    scenes = sim.scenes_from_dataset(data)
+    net = Net(cfg)
+    ds = SceneDataset({k: v for k, v in data.items()
+                       if not k.startswith("scene_")}, cfg)
+    sample = next(batch_iterator(ds, "val", 1, shuffle=False,
+                                 drop_last=False))
+    st = train.init_state(cfg, net, sample, jax.random.PRNGKey(0))
+    out = sim.run_closed_loop_host(
+        jax.random.PRNGKey(0), scenes, cfg, net, st.params,
+        specs.build_scorer(cfg), diff.get_coeffs(cfg), max_steps=2)
+    assert np.all(np.isfinite(np.asarray(out["progress"])))
