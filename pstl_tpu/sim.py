@@ -233,6 +233,18 @@ def make_planner(cfg: Config, net: Net, params, formulas,
             stlp_dense = jnp.broadcast_to(override, (n, 1, 6))
         dense = specs.densify_batch(obs, gt_stlp, cfg, key=k_dense,
                                     stlp_dense=stlp_dense)
+        if cfg.use_init_hint:
+            # the init-hint conditioned VAE (e3) expects a control-seed hint
+            # per row; closed-loop has no trajopt sidecars, so feed the
+            # dataset's random-seed distribution (nusc_dataset.py:215-218)
+            k_dense, k_hint = jax.random.split(k_dense)
+            kw, ka = jax.random.split(k_hint)
+            hint = jnp.stack(
+                [jax.random.uniform(kw, (n, cfg.nt), minval=-cfg.mul_w_max,
+                                    maxval=cfg.mul_w_max) * 0.1,
+                 jax.random.uniform(ka, (n, cfg.nt), minval=-cfg.mul_a_max,
+                                    maxval=cfg.mul_a_max)], axis=-1)
+            dense["params_init"] = hint
         highlevel = dense["highlevel_dense"]
         valid = dense["valids_dense"].reshape(-1)
         states_flat = jnp.broadcast_to(states[:, None, None],

@@ -123,10 +123,15 @@ def main():
                                       OUT, "models_e7")), 0)
 
     # ---- 4. open-loop eval (Table I) --------------------------------------
+    # eval always runs the multi-candidate path: the reference's eval
+    # commands for the mono-trained models drop --gt_data_training
+    # (README.md:135-144)
     EVAL_CFGS = {
-        "vae_mono": ("e2", preset("e2_vae_mono")),
+        "vae_mono": ("e2", preset("e2_vae_mono",
+                                  gt_data_training=False)),
         "vae_aug": ("e3", preset("e3_vae")),
-        "ddpm_mono": ("e4", preset("e4_ddpm_mono")),
+        "ddpm_mono": ("e4", preset("e4_ddpm_mono",
+                                   gt_data_training=False)),
         "ddpm_aug": ("e5", preset("e5_ddpm")),
         "trafficsim": ("e6", preset("e6_trafficsim")),
         "ctg": ("e5", preset("ctg")),
