@@ -50,8 +50,8 @@ def main():
                                                       "20")))
 
     bs = int(os.environ.get("BENCH_SCENES", "16"))
-    max_steps = int(os.environ.get("BENCH_STEPS", "8"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "4"))
+    max_steps = int(os.environ.get("BENCH_STEPS", "16"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
     max_steps = max(max_steps // chunk, 1) * chunk
 
     data = synthetic.generate_dataset(0, bs, cfg, scene_len=38)

@@ -6,12 +6,17 @@ import json
 import sys
 
 ORDER_I = ["vae_mono", "vae_aug", "ddpm_mono", "ddpm_aug", "trafficsim",
-           "ctg", "ours", "ours_guidance"]
+           "ctg", "ours", "ours_guidance", "ours_v2", "ours_v2_guidance",
+           "ours_v2_guidance_heavy"]
 ORDER_II = ["vae_aug", "ddpm_aug", "trafficsim", "ctg", "ours",
-            "ours_guidance"]
+            "ours_guidance", "ours_v2", "ours_v2_guidance"]
 LABEL = {"vae_mono": "VAE", "vae_aug": "VAE (aug)", "ddpm_mono": "DDPM",
          "ddpm_aug": "DDPM (aug)", "trafficsim": "TrafficSim", "ctg": "CTG",
-         "ours": "Ours", "ours_guidance": "Ours+guidance"}
+         "ours": "Ours (ref-exact DPP-only recipe)",
+         "ours_guidance": "Ours+guidance (ref-exact recipe)",
+         "ours_v2": "Ours (STL-hinge recipe)",
+         "ours_v2_guidance": "Ours+guidance",
+         "ours_v2_guidance_heavy": "Ours+guidance (all-steps x3)"}
 
 
 def main(path):
