@@ -51,13 +51,16 @@ def _load(cfg, ds, mdir):
 def main():
     base = dict(n_randoms=64, n_neighbors=8, batch_size=16)
     epochs = int(os.environ.get("E7V2_EPOCHS", "25"))
+    src = os.environ.get("E7V2_SRC", "models_e5")
+    dst = os.environ.get("E7V2_DST", "models_e7v2")
+    tag = os.environ.get("E7V2_TAG", "ours_v2")
     cfg7 = PRESETS["e7_ours"].with_(**base).with_(
         stl_weight=1.0, epochs=epochs,
-        net_pretrained_path=os.path.join(OUT, "models_e5"))
+        net_pretrained_path=os.path.join(OUT, src))
     ds = SceneDataset.load(os.path.join(OUT, "cache_aug.npz"), cfg7)
     results = json.load(open(os.path.join(OUT, "results.json")))
 
-    mdir = os.path.join(OUT, "models_e7v2")
+    mdir = os.path.join(OUT, dst)
     if not os.path.exists(os.path.join(mdir, "LAST")):
         log(f"training e7v2 (stl_weight=1.0, {epochs} epochs)...")
         st = train.train(cfg7.with_(exp_name=None), ds, log=log)
@@ -65,8 +68,9 @@ def main():
         log("e7v2 done")
 
     for row, cfge in (
-            ("ours_v2", PRESETS["e7_ours"].with_(n_rolls=3)),
-            ("ours_v2_guidance", PRESETS["ours_guidance"]),
+            (tag, PRESETS["e7_ours"].with_(n_rolls=3)),
+            (tag + "_guidance", PRESETS["ours_guidance"].with_(
+                guidance_before=1000, guidance_niters=3)),
     ):
         cfge = cfge.with_(test=True, sampling_size=64, **base)
         st = _load(cfge, ds, mdir)
@@ -85,8 +89,10 @@ def main():
     data = {k: v[keep] for k, v in data.items()}
     scenes = simmod.scenes_from_dataset(data)
     for row, cfgs in (
-            ("ours_v2", PRESETS["e7_ours"]),
-            ("ours_v2_guidance", PRESETS["ours_guidance_sim"]),
+            (tag, PRESETS["e7_ours"]),
+            (tag + "_guidance", PRESETS["ours_guidance_sim"].with_(
+                guidance_before=1000, guidance_niters=3,
+                guidance_lr=0.01)),
     ):
         cfgs = cfgs.with_(test=True, **base)
         st = _load(cfgs, ds, mdir)
@@ -107,7 +113,7 @@ def main():
         with open(os.path.join(OUT, "results.json"), "w") as f:
             json.dump(results, f, indent=2)
     log("done: " + json.dumps({k: v for k, v in results.items()
-                               if "ours_v2" in k}))
+                               if tag in k}))
 
 
 if __name__ == "__main__":
