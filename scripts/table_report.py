@@ -7,16 +7,19 @@ import sys
 
 ORDER_I = ["vae_mono", "vae_aug", "ddpm_mono", "ddpm_aug", "trafficsim",
            "ctg", "ours", "ours_guidance", "ours_v2", "ours_v2_guidance",
-           "ours_v2_guidance_heavy"]
+           "ours_v2_guidance_heavy", "ours_v3", "ours_v3_guidance"]
 ORDER_II = ["vae_aug", "ddpm_aug", "trafficsim", "ctg", "ours",
-            "ours_guidance", "ours_v2", "ours_v2_guidance"]
+            "ours_guidance", "ours_v2", "ours_v2_guidance", "ours_v3",
+            "ours_v3_guidance"]
 LABEL = {"vae_mono": "VAE", "vae_aug": "VAE (aug)", "ddpm_mono": "DDPM",
          "ddpm_aug": "DDPM (aug)", "trafficsim": "TrafficSim", "ctg": "CTG",
          "ours": "Ours (ref-exact DPP-only recipe)",
          "ours_guidance": "Ours+guidance (ref-exact recipe)",
          "ours_v2": "Ours (STL-hinge recipe)",
          "ours_v2_guidance": "Ours+guidance",
-         "ours_v2_guidance_heavy": "Ours+guidance (all-steps x3)"}
+         "ours_v2_guidance_heavy": "Ours+guidance (all-steps x3)",
+         "ours_v3": "Ours (v3: longer e5)",
+         "ours_v3_guidance": "Ours+guidance (v3, all-steps x3)"}
 
 
 def main(path):
