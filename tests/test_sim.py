@@ -157,3 +157,25 @@ def test_closed_loop_vae_planner():
         jax.random.PRNGKey(0), scenes, cfg, net, st.params,
         specs.build_scorer(cfg), diff.get_coeffs(cfg), max_steps=2)
     assert np.all(np.isfinite(np.asarray(out["progress"])))
+
+
+def test_rasterize_corridor_matches_analytic():
+    """The synthetic-cache drivable raster agrees with the analytic
+    corridor: points within CORRIDOR_HALF of a valid lane are drivable,
+    far-off points are not."""
+    from pstl_tpu import sim
+    th = np.zeros(50)
+    xs = np.linspace(0, 60, 50)
+    center = np.stack([xs, np.zeros(50), th], -1).astype(np.float32)
+    mask, origin, res = sim.rasterize_corridor(
+        center, np.array([1.0, 1.0, 0.0], np.float32))
+
+    def drivable(x, y):
+        j = int((x - origin[0]) / res)
+        i = int((y - origin[1]) / res)
+        return bool(mask[i, j])
+
+    assert drivable(30.0, 0.0)               # on the centerline
+    assert drivable(30.0, 3.5 + 2.0)         # within the LEFT lane corridor
+    assert not drivable(30.0, -3.5 - 2.0)    # right lane INVALID
+    assert not drivable(30.0, 3.5 + 3.25 + 1.0)  # beyond left corridor
