@@ -152,6 +152,22 @@ def cmd_eval(args):
     print(json.dumps({k: round(v, 4) for k, v in out.items()}, indent=2))
 
 
+def _read_episode_list(path):
+    """Curated closed-loop episode list: lines of ``scene_i ti`` (the
+    reference's 25 human-curated [traj, ti] pairs, nusc_dataset.py:38-72).
+    ``#`` comments and trailing rationale text are ignored."""
+    eps = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            parts = line.split()
+            eps.append((int(parts[0]), int(parts[1]) if len(parts) > 1
+                        else 0))
+    return eps
+
+
 def cmd_sim(args):
     cfg = build_config(args).with_(test=True, epochs=1)
     import numpy as np
@@ -161,7 +177,16 @@ def cmd_sim(args):
     from pstl_tpu.data import synthetic
     from pstl_tpu.models import Net
     stlp_override = None
-    if cfg.test_scenes:
+    t0 = None
+    if args.cache:
+        # extracted scene cache -> closed-loop (the reference runs the
+        # closed loop on the real val loader, nusc_sim.py:356-390)
+        raw = dict(np.load(args.cache, allow_pickle=False))
+        if "scene_ego_full" not in raw:
+            sys.exit(f"--cache {args.cache} carries no scene_* tensors; "
+                     "re-extract with scene output (cli data)")
+        data = raw
+    elif cfg.test_scenes:
         # held-out closed-loop protocol (nusc_dataset.py:38-72's curated 25
         # scenes): a fixed fresh seed never used by training data
         data = synthetic.generate_dataset(777, max(args.scenes, 25) * 2, cfg,
@@ -169,25 +194,46 @@ def cmd_sim(args):
     else:
         data = synthetic.generate_dataset(cfg.seed, args.scenes * 2, cfg,
                                           scene_len=args.scene_len)
-    if not args.no_pre_check:
+    n_scenes_all = len(data["scene_ego_full"])
+    if args.episodes:
+        # declared (scene, ti) episode list from the cache
+        eps = _read_episode_list(args.episodes)
+        keep = np.array([e[0] for e in eps], np.int64)
+        if (keep >= n_scenes_all).any():
+            sys.exit(f"--episodes references scene >= {n_scenes_all}")
+        t0 = np.array([e[1] for e in eps], np.int64)
+        lens = np.asarray(data["scene_len"])[keep]
+        t0 = np.minimum(t0, np.maximum(lens - 4, 0))
+    elif not args.no_pre_check:
         # pre_check: skip slow scenes (mean GT speed < 1, nusc_sim.py:34-39)
         keep = np.where(data["scene_ego_full"][:, :, 3].mean(-1) >= 1.0)[0]
     else:
-        keep = np.arange(len(data["scene_ego_full"]))
-    keep = keep[:max(args.scenes, 25) if cfg.test_scenes else args.scenes]
-    data = {k: v[keep] for k, v in data.items()}
+        keep = np.arange(n_scenes_all)
+    if args.episodes is None:
+        keep = keep[:max(args.scenes, 25) if cfg.test_scenes
+                    else args.scenes]
+    scene_data = {k: v[keep] for k, v in data.items()
+                  if k.startswith("scene_")}
     if cfg.test_aggressive:
-        # --test_aggressive: triple-repeat the first scene under the three
-        # aggressive stlp presets (nusc_sim.py:444-465, scene 781 x3)
-        data = {k: np.repeat(v[:1], 3, axis=0) for k, v in data.items()}
+        # --test_aggressive: triple-repeat the first selected scene under
+        # the three aggressive stlp presets (nusc_sim.py:444-465, scene
+        # 781 x3) — works for cached and synthetic scenes alike
+        scene_data = {k: np.repeat(v[:1], 3, axis=0)
+                      for k, v in scene_data.items()}
+        if t0 is not None:
+            t0 = np.repeat(t0[:1], 3, axis=0)
         stlp_override = sim.TEST_AGGRESSIVE_STLPS
-    scenes = sim.scenes_from_dataset(data)
+    scenes = sim.scenes_from_dataset(scene_data)
+    bs = len(scene_data["scene_ego_full"])
     net = Net(cfg)
     from pstl_tpu.data.dataset import SceneDataset
     ds = SceneDataset(
         {k: v for k, v in data.items() if not k.startswith("scene_")}, cfg)
     from pstl_tpu.data.dataset import batch_iterator
-    sample = next(batch_iterator(ds, "val", min(args.scenes, 4),
+    # net-init batch: any samples work (shapes only); tiny caches may have
+    # an empty val split
+    split = "val" if ds.split_len("val") > 0 else "train"
+    sample = next(batch_iterator(ds, split, min(bs, 4),
                                  shuffle=False, drop_last=False))
     state = train.init_state(cfg, net, sample, jax.random.PRNGKey(cfg.seed))
     if args.ckpt:
@@ -201,7 +247,7 @@ def cmd_sim(args):
     out = sim.run_closed_loop_host(
         jax.random.PRNGKey(0), scenes, cfg, net, state.params, formulas,
         coeffs, max_steps=args.steps, record=bool(render_dir) or args.record,
-        render_dir=render_dir, stlp_override=stlp_override)
+        render_dir=render_dir, stlp_override=stlp_override, t0=t0)
     res = {k: (float(v.mean()) if hasattr(v, "mean") else float(v))
            for k, v in out.items() if k != "history"}
     print(json.dumps({k: round(v, 4) for k, v in res.items()}, indent=2))
@@ -310,6 +356,10 @@ def main(argv=None):
                     help="record histories + per-step area metric")
     si.add_argument("--no-pre-check", action="store_true",
                     help="keep slow scenes (pre_check, nusc_sim.py:34-39)")
+    si.add_argument("--episodes", default=None,
+                    help="file of 'scene_i ti' lines selecting specific "
+                         "episodes from the cache (the reference's curated "
+                         "[traj, ti] protocol, nusc_dataset.py:38-72)")
     si.add_argument("--render", action="store_true",
                     help="write per-step frames and episode GIFs")
     si.set_defaults(fn=cmd_sim)

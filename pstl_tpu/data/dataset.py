@@ -175,7 +175,9 @@ def batch_iterator(ds: SceneDataset, split: str, batch_size: int,
         return
     if not drop_last and n % batch_size != 0:
         pad = batch_size - n % batch_size
-        idx = np.concatenate([idx, idx[:pad]])
+        # wrap as many times as needed (tiny splits can be smaller than
+        # one batch)
+        idx = np.concatenate([idx, np.tile(idx, -(-pad // n))[:pad]])
         n = len(idx)
     for i in range(0, n - batch_size + 1, batch_size):
         yield ds.gather(idx[i:i + batch_size])

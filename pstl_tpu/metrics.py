@@ -46,6 +46,50 @@ def masked_std(x: Array, mask: Array, axis: int) -> Array:
 # exact 2-D convex hull area (masked, batched)
 # ---------------------------------------------------------------------------
 
+# The exact all-pairs hull test below is O(m^3) in candidates and builds an
+# (..., m, m, m) intermediate: at the default m=64 that is a tiny batched
+# VPU workload (beats 960 host Qhull calls per eval batch), but it scales
+# as a cliff — m=256 would allocate 16.8M crosses PER (scene, maneuver, t)
+# cell.  Above this threshold hull_area switches to a host monotone-chain
+# (O(m log m)) via pure_callback.
+HULL_EXACT_MAX_M = 128
+
+
+def _monotone_chain_area(p):
+    """Convex hull area of (k, 2) points via Andrew's monotone chain."""
+    import numpy as np
+    p = np.unique(p[np.lexsort((p[:, 1], p[:, 0]))], axis=0)
+    if len(p) < 3:
+        return 0.0
+
+    def half(pts):
+        h = []
+        for q in pts:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], q - h[-2]) <= 0:
+                h.pop()
+            h.append(q)
+        return h
+
+    hull = np.array(half(p)[:-1] + half(p[::-1])[:-1])
+    if len(hull) < 3:
+        return 0.0
+    x, y = hull[:, 0], hull[:, 1]
+    return float(0.5 * abs(np.dot(x, np.roll(y, -1))
+                           - np.dot(y, np.roll(x, -1))))
+
+
+def _hull_area_host(points, mask):
+    import numpy as np
+    pts = np.asarray(points)
+    mk = np.asarray(mask) > 0.5
+    out = np.zeros(pts.shape[:-2], np.float32)
+    for idx in np.ndindex(*out.shape):
+        p = pts[idx][mk[idx]].astype(np.float64)
+        if len(p) >= 3:
+            out[idx] = _monotone_chain_area(p)
+    return out
+
+
 def hull_area(points: Array, mask: Array, eps: float = 1e-7) -> Array:
     """Area of the convex hull of masked 2-D points.
 
@@ -53,8 +97,14 @@ def hull_area(points: Array, mask: Array, eps: float = 1e-7) -> Array:
     Invalid points neither bound nor constrain the hull.  Fewer than 3
     non-collinear valid points -> 0 (matching the reference's Qhull
     try/except -> 0, nusc_api.py:852-858).
+    m > HULL_EXACT_MAX_M falls back to a host monotone chain (see above).
     """
     m = points.shape[-2]
+    if m > HULL_EXACT_MAX_M:
+        return jax.pure_callback(
+            _hull_area_host,
+            jax.ShapeDtypeStruct(points.shape[:-2], jnp.float32),
+            points, mask, vmap_method="expand_dims")
     p_i = points[..., :, None, :]          # (..., m, 1, 2)
     p_j = points[..., None, :, :]          # (..., 1, m, 2)
     e = p_j - p_i                          # edge vectors (..., m, m, 2)

@@ -11,8 +11,11 @@ collision and out-of-lane checks, and metric accumulation — is one jitted
 north-star benchmark (closed-loop agent-steps/sec/chip).
 
 Deviations from the reference (documented):
-- lanes are re-windowed on device from the dense centerline instead of
-  devkit map queries (same information for synthetic scenes);
+- the current lane is re-windowed on device from the dense centerline, and
+  left/right lanes come from the pre-extracted per-t lane tensors (TRUE map
+  geometry, selected by nearest GT pose to the simulated pose) when the
+  cache carries them — the reference re-queries the devkit per step
+  (nusc_sim.py:145-147); legacy caches fall back to +-3.5 m offsets;
 - out-of-lane uses the analytic drivable corridor |lateral offset| <= width
   over the valid lanes instead of the rasterized ``drivable_area`` layer;
 - episodes run a fixed max length with done-masking (XLA-friendly) instead
@@ -57,7 +60,16 @@ TEST_AGGRESSIVE_STLPS = np.array([
 
 
 class SceneTensors(NamedTuple):
-    """Per-scene pre-extracted tensors (stack for a batch)."""
+    """Per-scene pre-extracted tensors (stack for a batch).
+
+    The optional per-t tensors carry TRUE side-lane geometry / validity /
+    maneuver labels extracted along the GT corridor at every t (the
+    reference re-queries the map around the simulated pose each step,
+    nusc_sim.py:145-156; offline we select the stored entry whose GT pose
+    is nearest the simulated pose).  When absent (legacy caches) the sim
+    falls back to +-LANE_OFFSET side-lane fabrication, scene-start
+    validity, and lateral-offset re-labeling.
+    """
     ego_full: Array       # (L_full, 4) GT ego states (x, y, th, v)
     nei_full: Array       # (K, L_full, 7) neighbor tracks
     center_dense: Array   # (n_dense, 3) dense current-lane centerline
@@ -66,6 +78,9 @@ class SceneTensors(NamedTuple):
     drivable: Array       # (H, W) rasterized drivable-area mask
     drivable_origin: Array  # (2,) world coords of mask corner (x0, y0)
     drivable_res: Array   # () meters per cell
+    lanes_t: Optional[Array] = None        # (Lt, 3, n_segs, 3) per-t lanes
+    lane_valids_t: Optional[Array] = None  # (Lt, 3) per-t validity
+    hl_t: Optional[Array] = None           # (Lt,) per-t keyframe labels
 
 
 def rasterize_corridor(center_dense: np.ndarray, lane_valids: np.ndarray,
@@ -127,6 +142,9 @@ def scenes_from_dataset(data: Dict[str, np.ndarray]) -> SceneTensors:
             mask[i, :m.shape[0], :m.shape[1]] = m
         origin = np.stack(origins)
         res = np.stack(ress)
+    opt = {k: (jnp.asarray(data[f"scene_{k}"])
+               if f"scene_{k}" in data else None)
+           for k in ("lanes_t", "lane_valids_t", "hl_t")}
     return SceneTensors(
         ego_full=jnp.asarray(data["scene_ego_full"]),
         nei_full=jnp.asarray(data["scene_nei_full"]),
@@ -136,6 +154,7 @@ def scenes_from_dataset(data: Dict[str, np.ndarray]) -> SceneTensors:
         drivable=jnp.asarray(mask),
         drivable_origin=jnp.asarray(origin),
         drivable_res=jnp.asarray(res),
+        **opt,
     )
 
 
@@ -169,23 +188,42 @@ def observe(scene: SceneTensors, ego_state: Array, t: Array,
     nt, k = cfg.nt, cfg.n_neighbors
     nei_win = jax.lax.dynamic_slice_in_dim(scene.nei_full, t, nt, axis=1)
     curr = lane_window_device(scene.center_dense, ego_state[:2], cfg.n_segs)
-    left = offset_lane_device(curr, LANE_OFFSET) * scene.lane_valids[1]
-    right = offset_lane_device(curr, -LANE_OFFSET) * scene.lane_valids[2]
+    if scene.lanes_t is not None:
+        # TRUE per-t side lanes extracted along the GT corridor: select the
+        # entry whose GT pose is nearest the SIMULATED pose (offline
+        # analogue of nusc_sim.py:145-147 -> nusc_api.py:493-525 re-query)
+        Lt = scene.lanes_t.shape[0]
+        d2g = jnp.sum((scene.ego_full[:Lt, :2] - ego_state[:2]) ** 2,
+                      axis=-1)
+        it = jnp.argmin(d2g)
+        valids = (scene.lane_valids_t[it]
+                  if scene.lane_valids_t is not None else scene.lane_valids)
+        left = scene.lanes_t[it, 1] * valids[1]
+        right = scene.lanes_t[it, 2] * valids[2]
+    else:
+        valids = scene.lane_valids
+        left = offset_lane_device(curr, LANE_OFFSET) * valids[1]
+        right = offset_lane_device(curr, -LANE_OFFSET) * valids[2]
     ego_traj = jnp.broadcast_to(ego_state, (nt, 4))
     ego_traj = jnp.concatenate(
         [ego_traj, jnp.full((nt, 1), cfg.ego_L), jnp.full((nt, 1), cfg.ego_W)],
         axis=-1)
     # per-step high-level re-labeling around the SIMULATED pose (the
     # reference re-queries get_high_level_behaviors each sim step,
-    # nusc_sim.py:148-156): label by the current lateral offset from the
+    # nusc_sim.py:148-156): annotation-keyframe labels when the cache
+    # carries them, else label by the current lateral offset from the
     # re-windowed centerline — keep inside +-half-lane, else the side the
     # ego has drifted to (subject to that lane existing)
-    d0 = geom.point_to_polyline(ego_state[None, None, :3], curr[None])[0, 0]
-    hl = jnp.where(d0 > LANE_OFFSET / 2,
-                   jnp.where(scene.lane_valids[1] > 0.5, 1.0, 0.0),
-                   jnp.where(d0 < -LANE_OFFSET / 2,
-                             jnp.where(scene.lane_valids[2] > 0.5, 2.0, 0.0),
-                             0.0))
+    if scene.hl_t is not None and scene.lanes_t is not None:
+        hl = scene.hl_t[it]
+    else:
+        d0 = geom.point_to_polyline(ego_state[None, None, :3],
+                                    curr[None])[0, 0]
+        hl = jnp.where(d0 > LANE_OFFSET / 2,
+                       jnp.where(valids[1] > 0.5, 1.0, 0.0),
+                       jnp.where(d0 < -LANE_OFFSET / 2,
+                                 jnp.where(valids[2] > 0.5, 2.0, 0.0),
+                                 0.0))
     return {
         "ego_traj": ego_traj,
         "neighbors": nei_win[:, 0],
@@ -194,9 +232,9 @@ def observe(scene: SceneTensors, ego_state: Array, t: Array,
         "currlane_wpts": curr,
         "leftlane_wpts": left,
         "rightlane_wpts": right,
-        "curr_id": scene.lane_valids[0:1],
-        "left_id": scene.lane_valids[1:2],
-        "right_id": scene.lane_valids[2:3],
+        "curr_id": valids[0:1],
+        "left_id": valids[1:2],
+        "right_id": valids[2:3],
         "gt_high_level": hl[None],
     }
 
@@ -441,11 +479,20 @@ class Carry(NamedTuple):
     key: Array
 
 
-def _init_carry(scenes: SceneTensors, key: Array) -> Carry:
+def _init_carry(scenes: SceneTensors, key: Array,
+                t0: Optional[Array] = None) -> Carry:
+    """t0: optional (bs,) per-scene episode start frame (the reference's
+    curated [traj, ti] closed-loop protocol, nusc_dataset.py:38-72)."""
     bs = scenes.ego_full.shape[0]
+    if t0 is None:
+        t0 = jnp.zeros((bs,), jnp.int32)
+    else:
+        t0 = jnp.asarray(t0, jnp.int32)
+    ego0 = jnp.take_along_axis(scenes.ego_full, t0[:, None, None],
+                               axis=1)[:, 0]
     return Carry(
-        ego=scenes.ego_full[:, 0],
-        t=jnp.zeros((bs,), jnp.int32),
+        ego=ego0,
+        t=t0,
         done=jnp.zeros((bs,), bool),
         collide=jnp.zeros((bs,), bool),
         out_of_lane=jnp.zeros((bs,), bool),
@@ -536,8 +583,8 @@ def make_closed_loop_step(scenes: SceneTensors, cfg: Config, net: Net,
                                 length=chunk)
             return c
 
-    def init_carry(key):
-        return _init_carry(scenes, key)
+    def init_carry(key, t0=None):
+        return _init_carry(scenes, key, t0=t0)
 
     return init_carry, step
 
@@ -546,8 +593,8 @@ def run_closed_loop_host(key: Array, scenes: SceneTensors, cfg: Config,
                          net: Net, params, formulas, coeffs,
                          max_steps: int, record: bool = False,
                          render_dir: Optional[str] = None,
-                         stlp_override=None, chunk: int = 1
-                         ) -> Dict[str, Array]:
+                         stlp_override=None, chunk: int = 1,
+                         t0=None) -> Dict[str, Array]:
     """Host-driven episode runner (same metrics as run_closed_loop).
 
     record=True additionally returns per-step ego history, plan trajectories
@@ -565,7 +612,7 @@ def run_closed_loop_host(key: Array, scenes: SceneTensors, cfg: Config,
                                              stlp_override=stlp_override,
                                              chunk=chunk)
     import time as _time
-    c = init_carry(key)
+    c = init_carry(key, t0=t0)
     bs = scenes.ego_full.shape[0]
     hist = {"ego": [np.asarray(c.ego)], "plan": [], "area": [],
             "step_s": []}

@@ -7,6 +7,12 @@ planning stack, on a trained checkpoint.
 
 Usage:
   python scripts/closed_loop_eval.py exps/e2e_v2/models [--guidance]
+      [--cache cache.npz] [--strict]
+
+--cache runs the episodes on an extracted scene cache instead of fresh
+synthetic scenes; --strict reports the reference-exact-semantics row
+(forward_shield=False, env_nonnegative_speed=False — nusc_sim.py:118 lets
+speed go negative and applies no reversal shield).
 """
 
 import json
@@ -32,20 +38,32 @@ N_TEST_SCENES = 25     # matches the reference's curated list size
 def main():
     ckpt = sys.argv[1] if len(sys.argv) > 1 else "exps/e2e_v2/models"
     guidance = "--guidance" in sys.argv
+    strict = "--strict" in sys.argv
+    cache = None
+    if "--cache" in sys.argv:
+        cache = sys.argv[sys.argv.index("--cache") + 1]
     base = dict(n_randoms=64, n_neighbors=8, batch_size=16, flex=True,
                 load_stlp=True, load_tj=True)
     cfg = Config(diffusion=True, rect_head=True, diverse_loss=True,
                  multi_cands=10, **base).finalize().with_(
                      epochs=1, test=True, n_rolls=3,
                      guidance=guidance, guidance_niters=3)
+    if strict:
+        # reference-exact step semantics (nusc_sim.py:118): no reversal
+        # shield, speed may go negative
+        cfg = cfg.with_(forward_shield=False, env_nonnegative_speed=False)
 
-    # held-out scenes: a fresh seed never used for training data; pre_check
-    # drops slow scenes (mean GT speed < 1 m/s, nusc_sim.py:34-39)
-    data = synthetic.generate_dataset(777, N_TEST_SCENES * 2, cfg,
-                                      scene_len=38)
+    if cache:
+        data = dict(np.load(cache, allow_pickle=False))
+    else:
+        # held-out scenes: a fresh seed never used for training data
+        data = synthetic.generate_dataset(777, N_TEST_SCENES * 2, cfg,
+                                          scene_len=38)
+    # pre_check drops slow scenes (mean GT speed < 1 m/s, nusc_sim.py:34-39)
     keep = np.where(data["scene_ego_full"][:, :, 3].mean(-1)
                     >= 1.0)[0][:N_TEST_SCENES]
-    data = {k: v[keep] for k, v in data.items()}
+    data = {k: (v[keep] if k.startswith("scene_") else v)
+            for k, v in data.items()}
     scenes = sim.scenes_from_dataset(data)
 
     net = Net(cfg)
@@ -64,7 +82,9 @@ def main():
     # steady-state batched plan time (first step carries the compile)
     step_s = out["history"]["step_s"][1:] or out["history"]["step_s"]
     result = {
-        "variant": "ours_guidance" if guidance else "ours",
+        "variant": ("ours_guidance" if guidance else "ours")
+                   + ("_strict" if strict else "")
+                   + ("_cache" if cache else ""),
         "compliance": round(float(out["stl_acc"].mean()), 4),
         "area": round(float(out["area"]), 4),
         "progress": round(float(out["progress"].mean()), 3),

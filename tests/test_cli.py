@@ -95,6 +95,47 @@ def test_cli_sim_test_aggressive(tmp_path, capsys, monkeypatch):
     assert res["traj_len"] >= 0 and res["agent_steps"] <= 3 * 2
 
 
+def test_cli_sim_consumes_cache_with_episode_list(tmp_path, capsys,
+                                                  monkeypatch):
+    """The extract->sim loop: `cli sim --cache` feeds scene_* tensors
+    through scenes_from_dataset, and --episodes selects declared
+    (scene, ti) pairs (the reference's curated [traj, ti] protocol,
+    nusc_dataset.py:38-72 / nusc_sim.py:356-390)."""
+    monkeypatch.chdir(tmp_path)
+    cache = str(tmp_path / "scenes.npz")
+    cli.main(["data", "--out", cache, "--scenes", "3", "--scene-len", "10",
+              "--set", "n_randoms=2", "n_neighbors=2"])
+    with np.load(cache) as f:
+        assert "scene_ego_full" in f.files and "scene_lanes_t" in f.files
+    eps = tmp_path / "episodes.txt"
+    eps.write_text("# scene ti rationale\n0 0\n2 3  # late start\n1\n")
+    cli.main(["sim", "--cache", cache, "--episodes", str(eps),
+              "--steps", "2",
+              "--set", "n_randoms=2", "n_neighbors=2", "diffusion=true",
+              "diffusion_steps=4", "compute_dtype=float32",
+              "batch_size=2"])
+    out = capsys.readouterr().out
+    res = json.loads(out[out.index("{"):])
+    assert '"collide"' in out
+    assert res["agent_steps"] <= 3 * 2          # 3 declared episodes
+
+
+def test_cli_sim_cache_test_aggressive(tmp_path, capsys, monkeypatch):
+    """--test_aggressive reproduces 'same scene x3 presets' from a CACHE
+    (nusc_sim.py:444-465's scene 781 x3), not only synthetic."""
+    monkeypatch.chdir(tmp_path)
+    cache = str(tmp_path / "scenes.npz")
+    cli.main(["data", "--out", cache, "--scenes", "2", "--scene-len", "10",
+              "--set", "n_randoms=2", "n_neighbors=2"])
+    cli.main(["sim", "--cache", cache, "--steps", "2", "--no-pre-check",
+              "--set", "n_randoms=2", "n_neighbors=2", "diffusion=true",
+              "diffusion_steps=4", "compute_dtype=float32",
+              "batch_size=2", "test_aggressive=true"])
+    out = capsys.readouterr().out
+    res = json.loads(out[out.index("{"):])
+    assert res["agent_steps"] <= 3 * 2          # tripled first cache scene
+
+
 def test_new_round2_presets():
     for name in ("e2_vae_mono", "e6_trafficsim", "ctg", "ours_guidance_sim"):
         assert name in PRESETS, name

@@ -270,6 +270,64 @@ def test_extract_scene_multi_t_samples():
     assert mask[i, j]
 
 
+def test_extract_scene_per_t_lane_tensors():
+    """extract_scene emits TRUE per-t side-lane windows, validity and
+    labels for the sim (nusc_sim.py:145-156 re-query parity)."""
+    cfg = cfg_small()
+    m, ego, nei = _mock_scene(cfg)
+    samples, rec = extract.extract_scene(m, ego, nei, cfg, sample_stride=4)
+    Lt = rec["scene_lanes_t"].shape[0]
+    assert rec["scene_lanes_t"].shape == (Lt, 3, cfg.n_segs, 3)
+    assert rec["scene_lane_valids_t"].shape == (Lt, 3)
+    assert rec["scene_hl_t"].shape == (Lt,)
+    # frame 0 carries the first sample's lanes; strided frames inherit the
+    # nearest EARLIER sample
+    s0 = samples[0]
+    np.testing.assert_allclose(rec["scene_lanes_t"][0, 0],
+                               s0["currlane_wpts"])
+    np.testing.assert_allclose(rec["scene_lanes_t"][0, 1],
+                               s0["leftlane_wpts"])
+    ti1 = int(samples[1]["ti"])
+    np.testing.assert_allclose(rec["scene_lanes_t"][ti1 - 1, 0],
+                               s0["currlane_wpts"])
+    np.testing.assert_allclose(rec["scene_lanes_t"][ti1, 0],
+                               samples[1]["currlane_wpts"])
+    # validity row matches the sample flags; mock left lane is genuine
+    # geometry (y = +3.5), not a fabricated offset
+    assert rec["scene_lane_valids_t"][0, 1] == float(s0["left_id"][0])
+    if s0["left_id"][0] > 0.5:
+        assert np.allclose(s0["leftlane_wpts"][:, 1], LANE_OFF, atol=0.3)
+
+
+def test_sim_observe_uses_per_t_validity_and_labels():
+    """observe() consumes per-t lane validity + keyframe labels when the
+    scene carries them (dynamic validity: a side lane that ends
+    mid-episode must drop out of the observation)."""
+    import jax.numpy as jnp
+    from pstl_tpu import sim
+
+    cfg = cfg_small()
+    m, ego, nei = _mock_scene(cfg)
+    samples, rec = extract.extract_scene(m, ego, nei, cfg, sample_stride=1)
+    data = extract.pack_samples(samples, [rec])
+    # hand-edit: left lane becomes invalid from t=5, label flips to right
+    data["scene_lane_valids_t"][0, 5:, 1] = 0.0
+    data["scene_hl_t"][0, 5:] = 2.0
+    scenes = sim.scenes_from_dataset(data)
+    scene = type(scenes)(*[v[0] if v is not None else None for v in scenes])
+    obs_t0 = sim.observe(scene, scene.ego_full[0], jnp.asarray(0), cfg)
+    obs_t6 = sim.observe(scene, scene.ego_full[6], jnp.asarray(6), cfg)
+    assert float(obs_t0["left_id"][0]) == 1.0
+    assert float(obs_t6["left_id"][0]) == 0.0
+    assert float(obs_t6["leftlane_wpts"].sum()) == 0.0
+    assert float(obs_t0["gt_high_level"][0]) == 0.0
+    assert float(obs_t6["gt_high_level"][0]) == 2.0
+    # true side-lane geometry (not a +-3.5 offset of the curr window):
+    # the observed left lane at t0 is the extracted left lane
+    np.testing.assert_allclose(np.asarray(obs_t0["leftlane_wpts"]),
+                               samples[0]["leftlane_wpts"], atol=1e-5)
+
+
 def test_mock_cache_trains_and_simulates():
     """The judge-facing integration: mocked-devkit cache -> SceneDataset ->
     one train step AND the closed-loop sim consume it end-to-end."""

@@ -1,6 +1,7 @@
 """Metrics vs. numpy/scipy oracles (incl. Qhull for hull areas)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -52,6 +53,30 @@ def test_hull_area_matches_qhull_random():
         got = float(metrics.hull_area(jnp.asarray(pts[None]),
                                       jnp.ones((1, m)))[0])
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_hull_area_large_m_host_fallback():
+    """m > HULL_EXACT_MAX_M routes through the monotone-chain host callback
+    (the O(m^3) all-pairs path would allocate (m, m, m)); matches Qhull and
+    respects the mask."""
+    from scipy.spatial import ConvexHull
+    rng = np.random.RandomState(7)
+    m = 256
+    assert m > metrics.HULL_EXACT_MAX_M
+    pts = rng.randn(2, m, 2) * 3.0
+    mask = np.ones((2, m))
+    mask[1, m // 2:] = 0.0            # half the points masked out
+    got = np.asarray(metrics.hull_area(jnp.asarray(pts), jnp.asarray(mask)))
+    want0 = ConvexHull(pts[0]).volume
+    want1 = ConvexHull(pts[1, :m // 2]).volume
+    np.testing.assert_allclose(got, [want0, want1], rtol=1e-4)
+    # jit + measure_diversity at sampling_size=256 shapes (the eval path)
+    trajs = jnp.asarray(rng.randn(2, m, 3, 10 * 2).astype(np.float32))
+    scores = jnp.ones((2, m, 3))
+    valids = jnp.ones((2, m, 3))
+    out = jax.jit(lambda t, s, v: metrics.measure_diversity(t, s, v, 10))(
+        trajs, scores, valids)
+    assert np.isfinite(float(out["ma_vol"]))
 
 
 def test_entropy_uniform_vs_concentrated():

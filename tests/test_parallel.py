@@ -77,22 +77,28 @@ def test_closed_loop_sharded_matches_unsharded():
     formulas = specs.build_scorer(cfg)
     coeffs = diffusion.get_coeffs(cfg)
 
-    def run(scenes_in):
+    def run(scenes_in, chunk=1):
         init_carry, step = sim.make_closed_loop_step(
-            scenes_in, cfg, net, state.params, formulas, coeffs)
+            scenes_in, cfg, net, state.params, formulas, coeffs,
+            chunk=chunk)
         c = init_carry(jax.random.PRNGKey(1))
-        for _ in range(2):
+        for _ in range(2 // max(chunk, 1)):
             c = step(c)
         return {k: np.asarray(v) for k, v in sim._carry_metrics(c).items()}
 
     base = run(scenes)
     mesh = make_mesh((8,), ("data",))
     sharded_scenes = type(scenes)(*[
-        jax.device_put(x, data_sharding(mesh)) for x in scenes])
+        jax.device_put(x, data_sharding(mesh)) if x is not None else None
+        for x in scenes])
     out = run(sharded_scenes)
+    # chunked dispatch (the production bench path, chunk>1) must agree too
+    out_chunked = run(sharded_scenes, chunk=2)
     for k in ("collide", "out_of_lane", "traj_len", "progress", "stl_acc"):
         np.testing.assert_allclose(out[k], base[k], rtol=1e-4, atol=1e-5,
                                    err_msg=k)
+        np.testing.assert_allclose(out_chunked[k], base[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=f"chunked {k}")
 
 
 def test_two_process_global_batch(tmp_path):
