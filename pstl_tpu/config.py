@@ -78,6 +78,10 @@ class Config:
     trajopt_lr: float = 0.005
     opt_epochs: int = 0
     reg_loss: float = 10.0
+    # beyond-reference oracle robustness: optimize the expected hinge over
+    # this many independent flex-stlp draws (training redraws stlp per
+    # epoch, so 1 draw overfits; see trajopt.trajopt_loss).  1 = reference
+    trajopt_robust_draws: int = 4
 
     # ---- model modes -------------------------------------------------------
     stl_weight: float = 1.0

@@ -29,16 +29,41 @@ Array = jax.Array
 
 def trajopt_loss(params: Array, states_flat: Array,
                  signal_base: Dict[str, Array], highlevel: Array,
-                 formulas, cfg: Config, tau: Array | None = None):
-    """params: (n, nt, 2) flat dense controls; returns (loss, aux)."""
+                 formulas, cfg: Config, tau: Array | None = None,
+                 stlp_draws: Array | None = None):
+    """params: (n, nt, 2) flat dense controls; returns (loss, aux).
+
+    ``stlp_draws`` (K, n, 1, 6): optimize the EXPECTED hinge over K
+    independent flex-stlp draws instead of the single draw in
+    ``signal_base`` — training redraws the off-label stlp every epoch
+    (get_dense_stlp), so a seed optimized against one draw often violates
+    the next (round-2 fresh-draw satisfaction 0.601).  The geometry
+    signals (lane distances, clearance) are stlp-independent and computed
+    once; only the clause evaluation repeats per draw.
+    """
     valid = signal_base["dense_valids"].reshape(-1)
     trajs = dyn.rollout(states_flat, params, cfg.dt)
     sig = dict(signal_base)
     sig["ego_traj"] = trajs[:, :-1]
-    _, scores, _ = specs.compute_scores(sig, formulas, highlevel, valid, cfg,
-                                        tau=tau)
+    if stlp_draws is None:
+        _, scores, _ = specs.compute_scores(sig, formulas, highlevel, valid,
+                                            cfg, tau=tau)
+        hinge = jax.nn.relu(cfg.stl_trajopt_thres - scores)
+    else:
+        sig = specs.prep_signals(sig, cfg)     # geometry once, shared
+        hinges = []
+        scores = None
+        for k in range(stlp_draws.shape[0]):
+            sk = dict(sig)
+            sk["stlp"] = stlp_draws[k]
+            _, s_k, _ = specs.compute_scores(sk, formulas, highlevel, valid,
+                                             cfg, tau=tau)
+            hinges.append(jax.nn.relu(cfg.stl_trajopt_thres - s_k))
+            if k == 0:
+                scores = s_k       # canonical draw reported downstream
+        hinge = sum(hinges) / len(hinges)
     # note: clip floor 1e-3 here (nusc_train.py:297), not mask_mean's 1e-2
-    dense_loss = (jnp.mean(jax.nn.relu(cfg.stl_trajopt_thres - scores) * valid)
+    dense_loss = (jnp.mean(hinge * valid)
                   / jnp.clip(jnp.mean(valid), 1e-3))
     reg = (jnp.mean(jax.nn.relu(params[..., 0] ** 2 - cfg.mul_w_max ** 2))
            + jnp.mean(jax.nn.relu(params[..., 1] ** 2 - cfg.mul_a_max ** 2))
@@ -50,12 +75,14 @@ def trajopt_loss(params: Array, states_flat: Array,
 
 def optimize(params0: Array, states: Array, signal_base: Dict[str, Array],
              highlevel: Array, formulas, cfg: Config,
-             iters: int | None = None):
+             iters: int | None = None, stlp_draws: Array | None = None):
     """Run the full augmentation optimization as one jitted scan.
 
     params0: (bs, M, 3, nt, 2) initial control seeds.
     states:  (bs, 4) scene initial states.
     signal_base: densified signal input (specs.dense_signal_input).
+    stlp_draws: optional (K, n, 1, 6) flex draws for draw-robust
+    optimization (see trajopt_loss).
     Returns (params (bs, M, 3, nt, 2), scores (bs, M, 3), aux dict).
     """
     if iters is None:
@@ -82,7 +109,8 @@ def optimize(params0: Array, states: Array, signal_base: Dict[str, Array],
 
     grad_fn = jax.grad(
         lambda p, tau: trajopt_loss(p, states_flat, signal_base, highlevel,
-                                    formulas, cfg, tau=tau)[0])
+                                    formulas, cfg, tau=tau,
+                                    stlp_draws=stlp_draws)[0])
 
     def step(carry, i):
         p, opt_state = carry
@@ -119,12 +147,31 @@ def augment_dataset(ds, cfg: Config, formulas, batch_size: int = 64,
     scores_out = np.zeros((n, cfg.n_randoms, 3), np.float32)
     stlp_out = np.zeros((n, cfg.n_randoms, 3, 1, 6), np.float32)
 
-    run = jax.jit(lambda p0, st, sb, hl: optimize(
-        p0, st, sb, hl, formulas, cfg_flex, iters=iters))
+    K = max(int(cfg.trajopt_robust_draws), 1)
+    run = jax.jit(lambda p0, st, sb, hl, draws: optimize(
+        p0, st, sb, hl, formulas, cfg_flex, iters=iters,
+        stlp_draws=draws))
+
+    # fresh-draw satisfaction probe: score optimized params under a flex
+    # draw NEVER seen by the optimizer (training redraws stlp per epoch,
+    # so this — not the seen-draw acc — is the oracle quality that bounds
+    # the stl_bc_mask training signal)
+    @jax.jit
+    def score_under(params, st, sb, hl, stlp_dense):
+        n_rows = params.shape[0] * params.shape[1] * 3
+        sb = dict(sb)
+        sb["stlp"] = stlp_dense
+        states_flat = jnp.broadcast_to(
+            st[:, None, None], (st.shape[0], params.shape[1], 3, 4)
+        ).reshape(n_rows, 4)
+        _, aux = trajopt_loss(params.reshape(n_rows, cfg.nt, 2), states_flat,
+                              sb, hl, formulas, cfg_flex)
+        return aux["scores"]
 
     # --opt_epochs: optimization passes; epoch > 0 warm-starts from the
     # previous epoch's optimum (reference epoch-loop trajopt branch,
     # nusc_train.py:1303-1328)
+    accs_seen, accs_fresh = [], []
     for ep in range(max(epochs, 1)):
         for i0 in range(0, n, batch_size):
             idx = np.arange(i0, min(i0 + batch_size, n))
@@ -140,19 +187,45 @@ def augment_dataset(ds, cfg: Config, formulas, batch_size: int = 64,
             dense = specs.densify_batch(batch, stlp, cfg_flex, key=k_d)
             signal_base = specs.dense_signal_input(dense, cfg=cfg)
             states = gt[:, 0]
+            # K flex draws: draw 0 is the canonical stlp_dense persisted to
+            # the pre_stlp sidecar; the rest exist only to robustify
+            draws = [dense["stlp_dense"]]
+            for _ in range(K - 1):
+                key, k_k = jax.random.split(key)
+                draws.append(specs.get_dense_stlp(
+                    k_k, batch["gt_high_level"], stlp, cfg_flex))
             params, scores, aux = run(batch["params"], states, signal_base,
-                                      dense["highlevel_dense"])
+                                      dense["highlevel_dense"],
+                                      jnp.stack(draws))
+            key, k_f = jax.random.split(key)
+            fresh = specs.get_dense_stlp(k_f, batch["gt_high_level"], stlp,
+                                         cfg_flex)
+            s_fresh = score_under(params, states, signal_base,
+                                  dense["highlevel_dense"], fresh)
+            valid = np.asarray(dense["valids_dense"]).reshape(-1)
+            acc_fresh = float((np.asarray(s_fresh > 0) * valid).sum()
+                              / max(valid.sum(), 1.0))
             real = np.arange(i0, min(i0 + batch_size, n)) - i0
             params_out[i0:i0 + len(real)] = np.asarray(params)[real]
             scores_out[i0:i0 + len(real)] = np.asarray(scores)[real]
             stlp_np = np.asarray(dense["stlp_dense"]).reshape(
                 batch_size, cfg.n_randoms, 3, 1, 6)
             stlp_out[i0:i0 + len(real)] = stlp_np[real]
+            acc = float(jnp.mean((scores > 0).astype(jnp.float32)))
+            if ep == max(epochs, 1) - 1:
+                accs_seen.append(acc)
+                accs_fresh.append(acc_fresh)
             if verbose:
-                acc = float(jnp.mean((scores > 0).astype(jnp.float32)))
                 print(f"trajopt [{ep}|{i0:5d}/{n}] "
-                      f"loss={float(aux['loss']):.4f} acc={acc:.3f}")
+                      f"loss={float(aux['loss']):.4f} acc={acc:.3f} "
+                      f"fresh={acc_fresh:.3f}")
     ds.attach("params", params_out)
     ds.attach("tj_scores_prior", scores_out)
     ds.attach("pre_stlp", stlp_out)
+    stats = {"acc_seen": float(np.mean(accs_seen)),
+             "acc_fresh": float(np.mean(accs_fresh))}
+    if verbose:
+        print(f"trajopt oracle: seen={stats['acc_seen']:.3f} "
+              f"fresh-draw={stats['acc_fresh']:.3f} (K={K} draws)")
+    ds.trajopt_stats = stats
     return ds

@@ -95,6 +95,14 @@ def main():
     save_results(results)
 
     # ---- 3. training ------------------------------------------------------
+    e5_init = os.environ.get("E2E_E5_INIT")   # warm-start lineage (round-2
+    # finding: compliance scales with e5 budget; continuing a previous
+    # round's checkpoint is the cheapest way to extend it)
+    div_w = os.environ.get("E2E_E7_DIVERSITY")  # entropy lever sweep
+    if e5_init:
+        cfg5 = cfg5.with_(net_pretrained_path=e5_init)
+    if div_w:
+        cfg7 = cfg7.with_(diversity_weight=float(div_w))
     TRAIN_CFGS = {
         "e5": cfg5,
         "e7": cfg7.with_(net_pretrained_path=os.path.join(OUT, "models_e5")),

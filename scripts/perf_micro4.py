@@ -290,13 +290,22 @@ if __name__ == "__main__":
     print(f"grad maxdiff: {float(jnp.max(diff)):.3e} "
           f"(scale {float(jnp.max(jnp.abs(g1))):.3e}, "
           f"frac>1e-4: {frac:.5f})")
+    # remat(nothing_saveable): grad recomputes the forward INSIDE the
+    # backward fusion — no residual tensors in HBM, ~2x FLOPs.  The
+    # guidance loop is ~4:1 HBM-bound (docs/PERF.md), so trading flops for
+    # bytes should win if XLA fuses the recompute.
+    ns = jax.checkpoint_policies.nothing_saveable
+    l_tiled_r = jax.checkpoint(l_tiled, policy=ns)
+    l_cm_r = jax.checkpoint(l_cm, policy=ns)
     for name, fn, arg in [
-        ("grad tiled      ", jax.jit(jax.grad(l_tiled)), mu0),
-        ("grad candminor  ", jax.jit(jax.grad(l_cm)), muT0),
-        ("grad cm-bf16    ", jax.jit(jax.grad(l_cm16)), muT0),
-        ("3xAdam tiled    ", jax.jit(adam3(l_tiled)), mu0),
-        ("3xAdam candminor", jax.jit(adam3(l_cm)), muT0),
-        ("3xAdam cm-bf16  ", jax.jit(adam3(l_cm16)), muT0),
+        ("grad tiled        ", jax.jit(jax.grad(l_tiled)), mu0),
+        ("grad tiled+remat  ", jax.jit(jax.grad(l_tiled_r)), mu0),
+        ("grad candmin+remat", jax.jit(jax.grad(l_cm_r)), muT0),
+        ("3xAdam tiled      ", jax.jit(adam3(l_tiled)), mu0),
+        ("3xAdam tiled+rem  ", jax.jit(adam3(l_tiled_r)), mu0),
+        ("3xAdam candmin+rem", jax.jit(adam3(l_cm_r)), muT0),
+        ("3xAdam cm-bf16+rem",
+         jax.jit(adam3(jax.checkpoint(l_cm16, policy=ns))), muT0),
     ]:
         ms, cs = timeit(fn, arg)
         print(f"{name}: {ms:8.3f} ms  (compile {cs:.1f}s)")

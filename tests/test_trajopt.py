@@ -54,6 +54,52 @@ def test_trajopt_improves_scores():
     assert float(jnp.abs(p_opt[..., 1]).max()) < cfg.mul_a_max * 1.5
 
 
+def test_trajopt_loss_robust_draws_consistent():
+    """stlp_draws with a single draw equals the plain path (the K-draw
+    expected hinge reduces to the single-draw hinge at K=1), and K>1
+    averages draw hinges."""
+    cfg = Config(diffusion=True, n_randoms=2, n_neighbors=2,
+                 flex=True).finalize().with_(epochs=1)
+    bs = 2
+    batch = make_batch(cfg, bs=bs)
+    gt = batch["ego_traj"][..., :4]
+    stlp = specs.calibrate_stlp(batch, gt, cfg)
+    dense = specs.densify_batch(batch, stlp, cfg, key=jax.random.PRNGKey(0))
+    signal_base = specs.dense_signal_input(dense)
+    formulas = specs.build_formulas(cfg)
+    n = bs * cfg.n_randoms * 3
+    states_flat = jnp.broadcast_to(gt[:, 0][:, None, None],
+                                   (bs, cfg.n_randoms, 3, 4)).reshape(n, 4)
+    rng = np.random.RandomState(1)
+    p = jnp.asarray(rng.uniform(-0.3, 0.3, (n, cfg.nt, 2)).astype(np.float32))
+    hl = dense["highlevel_dense"]
+    l_plain, _ = trajopt.trajopt_loss(p, states_flat, signal_base, hl,
+                                      formulas, cfg)
+    draws1 = dense["stlp_dense"][None]
+    l_k1, aux1 = trajopt.trajopt_loss(p, states_flat, signal_base, hl,
+                                      formulas, cfg, stlp_draws=draws1)
+    np.testing.assert_allclose(float(l_k1), float(l_plain), rtol=1e-5)
+    # K=2 with a second (different) draw: loss is the mean of the two
+    # single-draw losses
+    d2 = specs.get_dense_stlp(jax.random.PRNGKey(7), batch["gt_high_level"],
+                              stlp, cfg)
+    sb2 = dict(signal_base)
+    sb2["stlp"] = d2
+    l_d2, _ = trajopt.trajopt_loss(p, states_flat, sb2, hl, formulas, cfg)
+    l_k2, aux2 = trajopt.trajopt_loss(
+        p, states_flat, signal_base, hl, formulas, cfg,
+        stlp_draws=jnp.stack([dense["stlp_dense"], d2]))
+    # reg term identical across variants; dense parts average
+    reg = float(trajopt.trajopt_loss(p, states_flat, signal_base, hl,
+                                     formulas, cfg)[1]["reg_loss"])
+    np.testing.assert_allclose(float(l_k2) - reg,
+                               ((float(l_plain) - reg)
+                                + (float(l_d2) - reg)) / 2, rtol=1e-4)
+    # reported scores come from the canonical draw 0
+    np.testing.assert_allclose(np.asarray(aux2["scores"]),
+                               np.asarray(aux1["scores"]), rtol=1e-5)
+
+
 def test_augment_dataset_attaches_columns():
     cfg = Config(diffusion=True, n_randoms=2, n_neighbors=2,
                  n_synth_scenes=4, flex=True).finalize().with_(epochs=1)
