@@ -183,6 +183,16 @@ class Config:
     # scores; per-row formula selection + per-scene constants); False falls
     # back to ClauseBank over pre-tiled signals
     tiled_scorer: bool = True
+    # candidate-minor fused guidance loss (specs.CandMinorGuidanceLoss):
+    # same math as rollout+TiledScorer (grad differs only on segment-argmin
+    # ties), one fully-fusable function with the candidate axis minor —
+    # the guidance inner-loop fast path
+    guidance_fused_loss: bool = True
+    # remat the guidance loss so its backward recomputes instead of
+    # storing residuals.  Measured (round 3): no speedup in-scan and 3.6x
+    # the compile time (208 s -> 749 s) — XLA already keeps the fused-loss
+    # residuals out of HBM.  Kept as an opt-in for future shapes.
+    guidance_remat: bool = False
     use_pallas_clearance: bool = False        # fused min-clearance kernel
     # serve training batches from the C++ mmap shard store (thread-pool
     # gather + double-buffered prefetch) instead of numpy slicing — the

@@ -27,10 +27,16 @@ class SceneDataset:
 
     def __init__(self, data: Dict[str, np.ndarray], cfg: Config,
                  split_seed: int = 1007):
-        self.data = data
+        # scene_* rows are per-SCENE closed-loop tensors (count != sample
+        # count); keep them out of the per-sample store so gather/len never
+        # index them, but round-trip them through save() for `sim --cache`
+        self.scene_data = {k: v for k, v in data.items()
+                           if k.startswith("scene_")}
+        self.data = {k: v for k, v in data.items()
+                     if not k.startswith("scene_")}
         self.cfg = cfg
-        any_key = next(iter(data))
-        self.n = data[any_key].shape[0]
+        any_key = next(iter(self.data))
+        self.n = self.data[any_key].shape[0]
         rng = np.random.RandomState(split_seed)
         perm = rng.permutation(self.n)
         n_train = int(self.n * cfg.train_ratio)
@@ -64,7 +70,7 @@ class SceneDataset:
 
     def save(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        np.savez_compressed(path, **self.data)
+        np.savez_compressed(path, **self.data, **self.scene_data)
         self.save_split(path + ".split.txt")
 
     TRAJOPT_COLUMNS = ("params", "params_init", "pre_stlp",

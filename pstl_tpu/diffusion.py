@@ -123,11 +123,12 @@ def _trigger_schedule(cfg: Config) -> np.ndarray:
 
 
 def make_guidance_ctx(score_rows: Callable, valid: Array,
-                      states_flat: Array):
+                      states_flat: Array, fused_loss=None):
     """Context consumed by the in-sampler guidance: a per-row robustness
-    function (specs.make_score_rows), the validity mask, and the dense
-    initial states."""
-    return (score_rows, valid, states_flat)
+    function (specs.make_score_rows), the validity mask, the dense initial
+    states, and optionally a prebuilt candidate-minor fused loss
+    (specs.CandMinorGuidanceLoss — the fast path)."""
+    return (score_rows, valid, states_flat, fused_loss)
 
 
 def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
@@ -140,15 +141,23 @@ def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
     clip(|mu'-mu|, beta_t) added positively (quirk) or the signed variant
     when the quirk flag is off.
     """
-    score_rows, valid, states_flat = ctx
+    score_rows, valid, states_flat, *rest = ctx
+    fused_loss = rest[0] if rest else None
     thres = 100.0 if maximize else cfg.stl_nn_thres
 
-    def loss_fn(mu_flat):
-        u = denormalize_controls(mu_flat, cfg, clip=False)
-        trajs = dyn.rollout(states_flat, u, cfg.dt)
-        scores = score_rows(trajs[:, :-1])
-        return specs.mask_mean(jax.nn.relu(thres - scores), valid)
+    if fused_loss is not None:
+        def loss_fn(mu_flat):
+            return fused_loss(mu_flat, thres)
+    else:
+        def loss_fn(mu_flat):
+            u = denormalize_controls(mu_flat, cfg, clip=False)
+            trajs = dyn.rollout(states_flat, u, cfg.dt)
+            scores = score_rows(trajs[:, :-1])
+            return specs.mask_mean(jax.nn.relu(thres - scores), valid)
 
+    if cfg.guidance_remat:
+        loss_fn = jax.checkpoint(
+            loss_fn, policy=jax.checkpoint_policies.nothing_saveable)
     grad_fn = jax.grad(loss_fn)
     lr, b1, b2, eps = cfg.guidance_lr, 0.9, 0.999, 1e-8
     mu_init = mu

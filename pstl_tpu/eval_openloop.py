@@ -135,9 +135,11 @@ def _sample_and_score(params, key, batch, cfg: Config, net: Net, formulas,
             return net.apply(params, dense, e, prev_feature=feature,
                              n_randoms=S)
 
-        guidance_ctx = (diffusion.make_guidance_ctx(score_rows, valid,
-                                                    states_flat)
-                        if cfg.guidance else None)
+        guidance_ctx = (diffusion.make_guidance_ctx(
+            score_rows, valid, states_flat,
+            fused_loss=specs.make_guidance_loss(batch, dense, cfg, states,
+                                                valid, n_randoms=S))
+            if cfg.guidance else None)
         nn_controls, all_steps = diffusion.sample(
             k_sample, apply_fn, dense, highlevel, feature, cfg, coeffs, N,
             guidance_ctx=guidance_ctx)

@@ -303,9 +303,11 @@ def make_planner(cfg: Config, net: Net, params, formulas,
             def apply_fn(e):
                 return net.apply(params, dense, e, prev_feature=feature)
 
-            guidance_ctx = (diffusion.make_guidance_ctx(score_rows, valid,
-                                                        states_flat)
-                            if cfg.guidance else None)
+            guidance_ctx = (diffusion.make_guidance_ctx(
+                score_rows, valid, states_flat,
+                fused_loss=specs.make_guidance_loss(obs, dense, cfg, states,
+                                                    valid))
+                if cfg.guidance else None)
             nn_controls, all_steps = diffusion.sample(
                 k_sample, apply_fn, dense, highlevel, feature, cfg, coeffs,
                 n, guidance_ctx=guidance_ctx, maximize=True)

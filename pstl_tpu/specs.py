@@ -393,6 +393,218 @@ class TiledScorer:
         return scores.reshape(bs * R)                     # (N,)
 
 
+class CandMinorGuidanceLoss:
+    """Fused guidance hinge loss in candidate-minor layout.
+
+    Same math as rollout -> TiledScorer -> mask_mean(relu(thres - scores))
+    (loss values agree to fp tolerance; gradients differ only on
+    nearest-segment argmin ties), but every hot tensor keeps the large
+    candidate axis R = 3*M minor (lanes pd (bs,T,S,R), clearance pairs
+    (bs,K,T,nLe,nLn,R)), the rollout/scorer/reduction chain is one
+    function XLA fuses end-to-end, and with ``cfg.guidance_remat`` the
+    backward pass recomputes instead of storing residuals — measured ~1.2x
+    over the row-major TiledScorer grad on the guidance microbench
+    (scripts/perf_micro4.py, docs/PERF.md round 3).
+
+    Candidate index is j-major (r = j*M + m): lane selection per row
+    becomes static slicing at M boundaries.  ``__call__(mu, thres)`` takes
+    the sampler's m-major mu (N, nt*2) and transposes at entry (245 KB,
+    negligible).
+    """
+
+    def __init__(self, batch: Dict[str, Array], stlp_dense: Array,
+                 states: Array, valid: Array, cfg: Config,
+                 n_randoms: Optional[int] = None):
+        self.cfg = cfg
+        M = n_randoms if n_randoms is not None else cfg.n_randoms
+        self.M = M
+        R = M * 3
+        self.R = R
+        bs = batch["currlane_wpts"].shape[0]
+        self.bs = bs
+        lanes = jnp.stack([batch["currlane_wpts"], batch["leftlane_wpts"],
+                           batch["rightlane_wpts"]], axis=1)  # (bs, 3, S, 3)
+        lane_r = jnp.moveaxis(jnp.repeat(lanes, M, axis=1), 1, -1)
+        self.lxr = lane_r[:, :, 0]                            # (bs, S, R)
+        self.lyr = lane_r[:, :, 1]
+        self.lthr = lane_r[:, :, 2]
+
+        nei = batch["neighbor_trajs_aug"]                     # (bs, K, T, 7)
+        self.nvalid = nei[..., 0]
+        nx0, ny0, nth = nei[..., 1], nei[..., 2], nei[..., 3]
+        Ln, Wn = nei[..., 5], nei[..., 6]
+        self.rn = Wn / 2.0
+        alpha = jnp.linspace(0.0, 1.0, cfg.refined_nL)
+        axn = ((-Ln / 2 + self.rn)[..., None] * (1 - alpha)
+               + (Ln / 2 - self.rn)[..., None] * alpha)       # (bs,K,T,nLn)
+        self.nx = nx0[..., None] + axn * jnp.cos(nth)[..., None]
+        self.ny = ny0[..., None] + axn * jnp.sin(nth)[..., None]
+        self.re = cfg.ego_W / 2.0
+        self.axe = jnp.linspace(-cfg.ego_L / 2 + self.re,
+                                cfg.ego_L / 2 - self.re, cfg.refined_nL)
+
+        stlp = stlp_dense.reshape(bs, M, 3, 6)
+        self.stlp_r = jnp.transpose(stlp, (0, 3, 2, 1)).reshape(bs, 6, R)
+        if cfg.norm_stl:
+            s = self.stlp_r
+            self.vf = jnp.clip(s[:, I_VMAX] - s[:, I_VMIN], 0.3)[:, None]
+            self.df = jnp.clip((s[:, I_DMAX] - s[:, I_DMIN]) * 5,
+                               0.3)[:, None]
+            self.sf = jnp.clip(s[:, I_DSAFE], 0.3)[:, None]
+        else:
+            self.vf = self.df = self.sf = 1.0
+        self.valid_r = valid.reshape(bs, M, 3).transpose(0, 2, 1
+                                                         ).reshape(bs, R)
+        self.x0 = states[:, 0][:, None, None]
+        self.y0 = states[:, 1][:, None, None]
+        self.th0 = states[:, 2][:, None, None]
+        self.v0 = states[:, 3][:, None, None]
+        self.dtype = jnp.bfloat16 if cfg.robustness_dtype == "bfloat16" \
+            else jnp.float32
+
+    def _alw(self, g, tau, axis=1):
+        g = g.astype(self.dtype)
+        return -jax.scipy.special.logsumexp(-g * tau, axis=axis) / tau
+
+    def _ev_alw(self, g, tau):
+        nt2 = self.cfg.nt // 2
+        g = g.astype(self.dtype)
+        suffix = -stl.logcumsumexp(-g * tau, axis=1, reverse=True) / tau
+        return jax.scipy.special.logsumexp(suffix[:, :nt2] * tau,
+                                           axis=1) / tau
+
+    def scores_r(self, muT: Array, tau: Optional[float] = None) -> Array:
+        """muT: (bs, T, 2, R) normalized controls, j-major.  Returns
+        per-row robustness (bs, R)."""
+        cfg = self.cfg
+        if tau is None:
+            tau = cfg.smoothing_factor
+        bs, R, M, T = self.bs, self.R, self.M, cfg.nt
+        w = muT[:, :, 0, :] * cfg.mul_w_max
+        a = muT[:, :, 1, :] * cfg.mul_a_max
+        th_in = self.th0 + cfg.dt * jnp.cumsum(w, axis=1)
+        v_in = self.v0 + cfg.dt * jnp.cumsum(a, axis=1)
+        th_s = jnp.concatenate(
+            [jnp.broadcast_to(self.th0, (bs, 1, R)), th_in[:, :-1]], axis=1)
+        v_s = jnp.concatenate(
+            [jnp.broadcast_to(self.v0, (bs, 1, R)), v_in[:, :-1]], axis=1)
+        cth, sth = jnp.cos(th_s), jnp.sin(th_s)
+        zer = jnp.zeros((bs, 1, R))
+        x_s = self.x0 + jnp.concatenate(
+            [zer, jnp.cumsum(v_s * cth * cfg.dt, axis=1)[:, :-1]], axis=1)
+        y_s = self.y0 + jnp.concatenate(
+            [zer, jnp.cumsum(v_s * sth * cfg.dt, axis=1)[:, :-1]], axis=1)
+
+        # lane distance/heading, per-row lane baked into lane_r
+        S = self.lxr.shape[1]
+        pdx = x_s[:, :, None, :] - self.lxr[:, None]          # (bs,T,S,R)
+        pdy = y_s[:, :, None, :] - self.lyr[:, None]
+        pd = jnp.sqrt(pdx * pdx + pdy * pdy)
+        segc = pd[:, :, :-1] + pd[:, :, 1:]
+        mi = jnp.argmin(segc, axis=2)                         # (bs,T,R)
+        sel = jax.lax.stop_gradient(
+            (jnp.arange(S - 1)[None, None, :, None]
+             == mi[:, :, None, :]).astype(jnp.float32))
+        x2 = jnp.einsum("btsr,bsr->btr", sel, self.lxr[:, :-1])
+        y2 = jnp.einsum("btsr,bsr->btr", sel, self.lyr[:, :-1])
+        th2 = jnp.einsum("btsr,bsr->btr", sel, self.lthr[:, :-1])
+        x3 = jnp.einsum("btsr,bsr->btr", sel, self.lxr[:, 1:])
+        y3 = jnp.einsum("btsr,bsr->btr", sel, self.lyr[:, 1:])
+        area = x_s * (y2 - y3) + x2 * (y3 - y_s) + x3 * (y_s - y2)
+        bottom = jnp.sqrt((x2 - x3) ** 2 + (y2 - y3) ** 2)
+        l2d = jnp.sqrt(jnp.clip((x_s - x2) ** 2 + (y_s - y2) ** 2, 1e-3))
+        normal = (bottom != 0).astype(jnp.float32)
+        d_all = (normal * area / jnp.clip(bottom, 1e-7)
+                 + (1 - normal) * l2d)
+        if cfg.inline:
+            l2d1 = jnp.sqrt(jnp.clip((x_s - x3) ** 2 + (y_s - y3) ** 2,
+                                     1e-3))
+            behind = ((x_s - x2) * (x3 - x2)
+                      + (y_s - y2) * (y3 - y2)) <= 0
+            ahead = ((x_s - x3) * (x2 - x3) + (y_s - y3) * (y2 - y3)) <= 0
+            behind_all = (mi == 0) & behind
+            ahead_all = (mi == S - 2) & ahead
+            norm_c = ~(behind_all | ahead_all)
+            sign = jnp.sign(d_all)
+            d_all = (norm_c * d_all + behind_all * l2d * sign
+                     + ahead_all * l2d1 * sign)
+        if cfg.clip_dist:
+            d_all = jnp.clip(d_all, -5.0, 5.0)
+        th_all = 1.0 - jnp.cos(th2 - th_s)
+
+        # neighbor clearance (pairwise stays in-registers under remat)
+        exd = (x_s[:, :, None, :]
+               + self.axe[None, None, :, None] * cth[:, :, None, :])
+        eyd = (y_s[:, :, None, :]
+               + self.axe[None, None, :, None] * sth[:, :, None, :])
+        dxp = exd[:, None, :, :, None, :] - self.nx[:, :, :, None, :, None]
+        dyp = eyd[:, None, :, :, None, :] - self.ny[:, :, :, None, :, None]
+        d2 = jnp.min(dxp * dxp + dyp * dyp, axis=(3, 4))      # (bs,K,T,R)
+        per = jnp.sqrt(d2 + 1e-12) - self.re - self.rn[..., None]
+        vk = self.nvalid[..., None]
+        masked = jnp.clip(per, -5.0, 20.0) * vk + (1.0 - vk) * 100.0
+        mnd = jnp.min(masked, axis=1)                         # (bs,T,R)
+
+        P = lambda i: self.stlp_r[:, i][:, None, :]           # (bs,1,R)
+        Ps = lambda i, sl: self.stlp_r[:, i, sl][:, None, :]
+        sub = (lambda f, sl: f[:, :, sl] if hasattr(f, "ndim") else f)
+        alw_vmin = self._alw((v_s - P(I_VMIN)) / self.vf, tau)
+        alw_vmax = self._alw((-v_s + P(I_VMAX)) / self.vf, tau)
+        alw_safe = self._alw((mnd - P(I_DSAFE)) / self.sf, tau)
+
+        kM = slice(0, M)
+        cM = slice(M, R)
+        thk = Ps(I_THMAX, kM)
+        g_keep = jnp.stack([
+            (d_all[..., kM] - Ps(I_DMIN, kM)) / sub(self.df, kM),
+            (-d_all[..., kM] + Ps(I_DMAX, kM)) / sub(self.df, kM),
+            (thk - th_all[..., kM]) / thk,
+        ], axis=1)                                            # (bs,3,T,M)
+        alw_keep = self._alw(g_keep, tau, axis=2)             # (bs,3,M)
+        s_keep = -jax.scipy.special.logsumexp(jnp.stack([
+            -alw_vmin[:, kM], -alw_vmax[:, kM], -alw_keep[:, 0],
+            -alw_keep[:, 1], -alw_keep[:, 2], -alw_safe[:, kM]],
+            axis=1).astype(self.dtype) * tau, axis=1) / tau   # (bs, M)
+
+        d_c = d_all[..., cM]
+        dfc = sub(self.df, cM)
+        band = -jax.scipy.special.logsumexp(jnp.stack([
+            -(d_c - Ps(I_DMIN, cM)) / dfc,
+            -(-d_c + Ps(I_DMAX, cM)) / dfc],
+            axis=1).astype(self.dtype) * tau, axis=1) / tau   # (bs,T,2M)
+        ev_d = self._ev_alw(band, tau)                        # (bs, 2M)
+        thc = Ps(I_THMAX, cM)
+        ev_th = self._ev_alw((thc - th_all[..., cM]) / thc, tau)
+        s_change = -jax.scipy.special.logsumexp(jnp.stack([
+            -alw_vmin[:, cM], -alw_vmax[:, cM], -ev_d, -ev_th,
+            -alw_safe[:, cM]], axis=1).astype(self.dtype) * tau,
+            axis=1) / tau                                     # (bs, 2M)
+        return jnp.concatenate([s_keep, s_change],
+                               axis=1).astype(jnp.float32)    # (bs, R)
+
+    def __call__(self, mu: Array, thres: float,
+                 tau: Optional[float] = None) -> Array:
+        """mu: (N, nt*2) normalized, m-major — the sampler's layout."""
+        cfg = self.cfg
+        muT = mu.reshape(self.bs, self.M, 3, cfg.nt, 2)
+        muT = jnp.transpose(muT, (0, 3, 4, 2, 1)).reshape(
+            self.bs, cfg.nt, 2, self.R)
+        scores = self.scores_r(muT, tau)
+        return mask_mean(jax.nn.relu(thres - scores), self.valid_r)
+
+
+def make_guidance_loss(batch: Dict[str, Array], dense: Dict[str, Array],
+                       cfg: Config, states: Array, valid: Array,
+                       n_randoms: Optional[int] = None):
+    """Build the candidate-minor fused guidance loss when enabled (None
+    falls back to the rollout+score_rows loss in diffusion._guidance_step).
+    """
+    if not (cfg.guidance_fused_loss and cfg.tiled_scorer):
+        return None
+    return CandMinorGuidanceLoss(batch, dense["stlp_dense"], states, valid,
+                                 cfg, n_randoms=n_randoms)
+
+
 def make_score_rows(batch: Dict[str, Array], dense: Dict[str, Array],
                     cfg: Config, formulas=None,
                     n_randoms: Optional[int] = None):

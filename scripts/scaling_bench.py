@@ -19,16 +19,21 @@ import os
 import sys
 import time
 
-# FORCE the virtual CPU mesh (the shell may pin JAX_PLATFORMS to the real
-# TPU; this harness must never contend for it)
-os.environ["JAX_PLATFORMS"] = "cpu"
+# FORCE the virtual CPU mesh.  The container pre-imports jax at interpreter
+# startup (sitecustomize pins JAX_PLATFORMS=axon), so env vars are too
+# late — jax.config.update works because backend selection is lazy, and
+# XLA_FLAGS still writes through before first backend init (see
+# tests/conftest.py).
 if "host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=8")
+                               + " --xla_force_host_platform_device_count=8"
+                               ).strip()
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np
+
+jax.config.update("jax_platforms", "cpu")
 
 from pstl_tpu import diffusion, sim, specs, train
 from pstl_tpu.config import Config

@@ -235,6 +235,45 @@ class TestTiledScorer:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_candminor_guidance_loss_matches(self):
+        """The candidate-minor fused guidance loss equals the fallback
+        rollout+TiledScorer hinge loss (values to fp tolerance; grads up
+        to segment-argmin ties on a sub-percent of entries)."""
+        from pstl_tpu import diffusion
+        from pstl_tpu.ops import dynamics as dyn
+
+        for norm_stl in (False, True):
+            cfg, batch, dense, _ = self._setup(norm_stl, seed=6)
+            bs, M = 3, cfg.n_randoms
+            N = bs * M * 3
+            rng = np.random.RandomState(7)
+            states = jnp.asarray(rng.randn(bs, 4).astype(np.float32))
+            states = states.at[:, 3].set(jnp.abs(states[:, 3]) * 3)
+            valid = dense["valids_dense"].reshape(-1)
+            states_flat = jnp.broadcast_to(
+                states[:, None, None], (bs, M, 3, 4)).reshape(N, 4)
+            mu = jnp.asarray(rng.randn(N, cfg.nt * 2).astype(np.float32))
+            score_rows = specs.make_score_rows(batch, dense, cfg)
+
+            def loss_ref(m):
+                u = diffusion.denormalize_controls(m, cfg, clip=False)
+                trajs = dyn.rollout(states_flat, u, cfg.dt)
+                return specs.mask_mean(
+                    jax.nn.relu(100.0 - score_rows(trajs[:, :-1])), valid)
+
+            fused = specs.make_guidance_loss(batch, dense, cfg, states,
+                                             valid)
+            assert fused is not None
+            l_ref = float(jax.jit(loss_ref)(mu))
+            l_fused = float(jax.jit(lambda m: fused(m, 100.0))(mu))
+            np.testing.assert_allclose(l_fused, l_ref, rtol=1e-4)
+            g_ref = np.asarray(jax.jit(jax.grad(loss_ref))(mu))
+            g_f = np.asarray(jax.jit(jax.grad(
+                lambda m: fused(m, 100.0)))(mu))
+            scale = np.abs(g_ref).max()
+            frac_diff = np.mean(np.abs(g_ref - g_f) > 1e-3 * scale)
+            assert frac_diff < 0.05, frac_diff
+
     def test_gradient_matches(self):
         cfg, batch, dense, trajs = self._setup(True, seed=4)
         scorer = specs.TiledScorer(batch, dense["stlp_dense"], cfg)
