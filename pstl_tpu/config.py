@@ -97,7 +97,9 @@ class Config:
     beta_end: float = 0.02
     cos: bool = True              # cosine schedule (forced on in reference)
     # fast sampling (beyond-reference): "ddpm" = ancestral (parity),
-    # "ddim" = deterministic subsequence sampler (Song et al. 2020)
+    # "ddim" = deterministic subsequence sampler (Song et al. 2020),
+    # "dpmpp" = DPM-Solver++(2M) multistep (Lu et al. 2022) — both use
+    # ddim_steps network evaluations
     sampler: str = "ddpm"
     ddim_steps: int = 20
     ddim_eta: float = 0.0

@@ -310,11 +310,82 @@ def reverse_sample_ddim(key: Array, apply_fn: Callable,
     return all_steps[-1], all_steps
 
 
+def reverse_sample_dpmpp(key: Array, apply_fn: Callable,
+                         batch: Dict[str, Array], highlevel: Array,
+                         feature: Array, cfg: Config, coeffs: Coeffs,
+                         n: int, guidance_ctx=None, maximize: bool = False,
+                         mono: bool = False,
+                         tmp_stlp: Optional[Array] = None):
+    """DPM-Solver++(2M) multistep sampler (Lu et al. 2022,
+    arXiv:2211.01095) — beyond-reference fast mode: second-order
+    data-prediction updates in log-SNR time, typically matching the DDPM
+    chain's sample quality in 10-20 network evaluations instead of 99.
+    Deterministic (no injected noise).  Guidance applies to the updated
+    state each step, like the DDIM path; per-step decodings feed
+    multi-cands identically.
+    """
+    T = cfg.diffusion_steps
+    S = min(cfg.ddim_steps, T - 1)
+    taus = np.linspace(T - 1, 1, S).round().astype(np.int32)
+    use_guidance = guidance_ctx is not None and cfg.guidance
+    k_init, _ = jax.random.split(key)
+    x0 = jax.random.normal(k_init, (n, cfg.nt * 2))
+    if mono:
+        ext_extra = {"stlp": tmp_stlp, "gt_stlp": tmp_stlp}
+    else:
+        ext_extra = {"stlp": batch["stlp_dense"]}
+
+    ab = coeffs.alpha_hat
+    alpha_t = jnp.sqrt(ab)
+    sigma_t = jnp.sqrt(1.0 - ab)
+    lam = jnp.log(alpha_t) - jnp.log(sigma_t)       # half log-SNR
+
+    def x0_pred(x, t):
+        t_col = jnp.full((n, 1), t, dtype=jnp.float32)
+        ext = {"timestep": t_col, "highlevel": highlevel, "noise": x,
+               **ext_extra}
+        eps = apply_fn(ext).reshape(n, cfg.nt * 2)
+        return (x - sigma_t[t] * eps) / alpha_t[t]
+
+    def step(carry, xs):
+        x, d_prev, h_prev = carry
+        t_prev, t, first = xs
+        d = x0_pred(x, t_prev)
+        h = lam[t] - lam[t_prev]
+        r = h_prev / jnp.where(h == 0, 1.0, h)
+        # first step: first-order (DDIM) update; later: 2M correction
+        d_used = jnp.where(first, d,
+                           (1 + 1 / (2 * jnp.maximum(r, 1e-6))) * d
+                           - (1 / (2 * jnp.maximum(r, 1e-6))) * d_prev)
+        x_next = (sigma_t[t] / sigma_t[t_prev] * x
+                  - alpha_t[t] * jnp.expm1(-h) * d_used)
+        if use_guidance:
+            x_next = _guidance_step(x_next, coeffs.beta[t], guidance_ctx,
+                                    cfg, maximize)
+        return (x_next, d, h), (x_next if cfg.diff_full else None)
+
+    t_prevs = jnp.asarray(taus[:-1])
+    t_nexts = jnp.asarray(taus[1:])
+    firsts = jnp.asarray([True] + [False] * (len(taus) - 2))
+    (x_last, d_last, _), xs_hist = jax.lax.scan(
+        step, (x0, jnp.zeros_like(x0), jnp.asarray(1.0)),
+        (t_prevs, t_nexts, firsts))
+    # final decode at the last timestep: data prediction at tau_min
+    x_final = x0_pred(x_last, taus[-1])
+    if not cfg.diff_full:
+        final = denormalize_controls(x_final, cfg)
+        return final, final[None]
+    full = jnp.concatenate([x0[None], xs_hist, x_final[None]], axis=0)
+    all_steps = jax.vmap(lambda v: denormalize_controls(v, cfg))(full)
+    return all_steps[-1], all_steps
+
+
 def sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
            highlevel: Array, feature: Array, cfg: Config, coeffs: Coeffs,
            n: int, **kw):
-    """Dispatch to the configured sampler (ddpm parity / ddim fast)."""
-    fn = reverse_sample_ddim if cfg.sampler == "ddim" else reverse_sample
+    """Dispatch to the configured sampler (ddpm parity / ddim / dpm++)."""
+    fn = {"ddim": reverse_sample_ddim,
+          "dpmpp": reverse_sample_dpmpp}.get(cfg.sampler, reverse_sample)
     return fn(key, apply_fn, batch, highlevel, feature, cfg, coeffs, n, **kw)
 
 

@@ -41,6 +41,34 @@ def test_ddim_eta_adds_noise():
     assert np.all(np.isfinite(np.asarray(c1)))
 
 
+def test_dpmpp_shapes_determinism_and_quality():
+    """DPM-Solver++(2M): shapes, determinism, and the 2nd-order update
+    stays bounded/finite; dispatch via cfg.sampler="dpmpp"."""
+    cfg = small_cfg(sampler="dpmpp", ddim_steps=6, diff_full=True)
+    (apply_fn, dense, feature, states_flat, coeffs, formulas, signal_base,
+     ctx, n) = make_sampler_setup(cfg)
+    c, all_steps = diffusion.sample(
+        jax.random.PRNGKey(0), apply_fn, dense, dense["highlevel_dense"],
+        feature, cfg, coeffs, n)
+    assert c.shape == (n, cfg.nt, 2)
+    # S-1 scan steps + init noise + final decode
+    assert all_steps.shape[0] == 6 + 1
+    np.testing.assert_allclose(np.asarray(all_steps[-1]), np.asarray(c),
+                               atol=1e-6)
+    assert np.all(np.isfinite(np.asarray(c)))
+    c2, _ = diffusion.sample(
+        jax.random.PRNGKey(0), apply_fn, dense, dense["highlevel_dense"],
+        feature, cfg, coeffs, n)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c))
+    # the deterministic solver tracks the same model as DDIM(eta=0):
+    # samples from the same init noise land in the same region
+    cd, _ = diffusion.reverse_sample_ddim(
+        jax.random.PRNGKey(0), apply_fn, dense, dense["highlevel_dense"],
+        feature, cfg.with_(sampler="ddim"), coeffs, n)
+    assert float(np.abs(np.asarray(c) - np.asarray(cd)).mean()) < \
+        float(np.abs(np.asarray(cd)).mean()) + 1.0
+
+
 def test_sample_dispatch():
     cfg = small_cfg(sampler="ddim", ddim_steps=4, diff_full=True)
     (apply_fn, dense, feature, states_flat, coeffs, formulas, signal_base,
