@@ -205,13 +205,35 @@ def augment_dataset(ds, cfg: Config, formulas, batch_size: int = 64,
             valid = np.asarray(dense["valids_dense"]).reshape(-1)
             acc_fresh = float((np.asarray(s_fresh > 0) * valid).sum()
                               / max(valid.sum(), 1.0))
+            M = cfg.n_randoms
+            if K > 1:
+                # persist the BEST-of-K draw per row: training conditions
+                # on the cached stlp (load_stlp, nusc_dataset.py:220-222),
+                # so store the draw each optimized control best satisfies —
+                # robust params + a conditioning stlp they actually meet
+                # (keeps the stl_bc_mask training signal dense)
+                s_all = [scores.reshape(-1)]
+                for kk in range(1, K):
+                    s_all.append(score_under(params, states, signal_base,
+                                             dense["highlevel_dense"],
+                                             draws[kk]))
+                S = np.stack([np.asarray(s).reshape(batch_size, M, 3)
+                              for s in s_all])              # (K, bs, M, 3)
+                kstar = np.argmax(S, axis=0)                # (bs, M, 3)
+                scores_np = np.max(S, axis=0)
+                D = np.stack([np.asarray(d).reshape(batch_size, M, 3, 6)
+                              for d in draws])              # (K, bs, M, 3, 6)
+                stlp_np = np.take_along_axis(
+                    D, kstar[None, ..., None], axis=0)[0][..., None, :]
+            else:
+                scores_np = np.asarray(scores)
+                stlp_np = np.asarray(dense["stlp_dense"]).reshape(
+                    batch_size, M, 3, 1, 6)
             real = np.arange(i0, min(i0 + batch_size, n)) - i0
             params_out[i0:i0 + len(real)] = np.asarray(params)[real]
-            scores_out[i0:i0 + len(real)] = np.asarray(scores)[real]
-            stlp_np = np.asarray(dense["stlp_dense"]).reshape(
-                batch_size, cfg.n_randoms, 3, 1, 6)
+            scores_out[i0:i0 + len(real)] = scores_np[real]
             stlp_out[i0:i0 + len(real)] = stlp_np[real]
-            acc = float(jnp.mean((scores > 0).astype(jnp.float32)))
+            acc = float(np.mean(scores_np > 0))
             if ep == max(epochs, 1) - 1:
                 accs_seen.append(acc)
                 accs_fresh.append(acc_fresh)
