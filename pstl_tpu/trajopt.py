@@ -33,13 +33,16 @@ def trajopt_loss(params: Array, states_flat: Array,
                  stlp_draws: Array | None = None):
     """params: (n, nt, 2) flat dense controls; returns (loss, aux).
 
-    ``stlp_draws`` (K, n, 1, 6): optimize the EXPECTED hinge over K
+    ``stlp_draws`` (K, n, 1, 6): optimize a WEIGHTED expected hinge over K
     independent flex-stlp draws instead of the single draw in
-    ``signal_base`` — training redraws the off-label stlp every epoch
-    (get_dense_stlp), so a seed optimized against one draw often violates
-    the next (round-2 fresh-draw satisfaction 0.601).  The geometry
-    signals (lane distances, clearance) are stlp-independent and computed
-    once; only the clause evaluation repeats per draw.
+    ``signal_base``: half the weight on draw 0 (the canonical draw whose
+    stlp/score are persisted and condition training), half spread over the
+    robustness draws.  A pure average dilutes per-draw satisfaction (the
+    measured best-of-4 acc fell to 0.61 vs 0.82 single-draw); the weighted
+    form keeps the canonical draw satisfied while still pressuring
+    robustness to redraws (round-2 fresh-draw satisfaction was 0.601).
+    The geometry signals (lane distances, clearance) are stlp-independent
+    and computed once; only the clause evaluation repeats per draw.
     """
     valid = signal_base["dense_valids"].reshape(-1)
     trajs = dyn.rollout(states_flat, params, cfg.dt)
@@ -51,17 +54,18 @@ def trajopt_loss(params: Array, states_flat: Array,
         hinge = jax.nn.relu(cfg.stl_trajopt_thres - scores)
     else:
         sig = specs.prep_signals(sig, cfg)     # geometry once, shared
-        hinges = []
+        K = stlp_draws.shape[0]
+        w = [1.0] if K == 1 else [0.5] + [0.5 / (K - 1)] * (K - 1)
+        hinge = 0.0
         scores = None
-        for k in range(stlp_draws.shape[0]):
+        for k in range(K):
             sk = dict(sig)
             sk["stlp"] = stlp_draws[k]
             _, s_k, _ = specs.compute_scores(sk, formulas, highlevel, valid,
                                              cfg, tau=tau)
-            hinges.append(jax.nn.relu(cfg.stl_trajopt_thres - s_k))
+            hinge = hinge + w[k] * jax.nn.relu(cfg.stl_trajopt_thres - s_k)
             if k == 0:
                 scores = s_k       # canonical draw reported downstream
-        hinge = sum(hinges) / len(hinges)
     # note: clip floor 1e-3 here (nusc_train.py:297), not mask_mean's 1e-2
     dense_loss = (jnp.mean(hinge * valid)
                   / jnp.clip(jnp.mean(valid), 1e-3))
