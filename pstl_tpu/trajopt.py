@@ -237,7 +237,10 @@ def augment_dataset(ds, cfg: Config, formulas, batch_size: int = 64,
             params_out[i0:i0 + len(real)] = np.asarray(params)[real]
             scores_out[i0:i0 + len(real)] = scores_np[real]
             stlp_out[i0:i0 + len(real)] = stlp_np[real]
-            acc = float(np.mean(scores_np > 0))
+            # VALID-masked like the eval tj_acc row (the unmasked mean
+            # counts invalid-lane rows as failures and reads ~0.73x lower)
+            acc = float(((scores_np.reshape(-1) > 0) * valid).sum()
+                        / max(valid.sum(), 1.0))
             if ep == max(epochs, 1) - 1:
                 accs_seen.append(acc)
                 accs_fresh.append(acc_fresh)
