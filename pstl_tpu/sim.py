@@ -658,7 +658,10 @@ def run_closed_loop_host(key: Array, scenes: SceneTensors, cfg: Config,
                         t, scenes.nei_full.shape[2] - 1)]),
                     hist["plan"][t - 1][i] if t - 1 < len(hist["plan"])
                     else None,
-                    ego_LW=(cfg.ego_L, cfg.ego_W))
+                    ego_LW=(cfg.ego_L, cfg.ego_W),
+                    drivable=np.asarray(scenes.drivable[i]),
+                    drivable_origin=np.asarray(scenes.drivable_origin[i]),
+                    drivable_res=float(scenes.drivable_res[i]))
                 frames.append(path)
             viz.generate_gif(f"{render_dir}/episode_{i:02d}.gif", frames)
     return out

@@ -242,9 +242,23 @@ def plot_control_histograms(controls: np.ndarray, path: str):
 def render_closed_loop_frame(path: str, scene_center: np.ndarray,
                              lane_valids: np.ndarray, ego_hist: np.ndarray,
                              neighbors: np.ndarray, plan_traj: np.ndarray,
-                             ego_LW=(4.084, 1.73), r: float = 40.0):
-    """One closed-loop frame (NuScenesSim.render, nusc_sim.py:229-347)."""
+                             ego_LW=(4.084, 1.73), r: float = 40.0,
+                             drivable=None, drivable_origin=None,
+                             drivable_res: float = 0.5):
+    """One closed-loop frame (NuScenesSim.render, nusc_sim.py:229-347).
+
+    ``drivable``/``drivable_origin``/``drivable_res``: the scene's
+    rasterized drivable-area mask drawn as the map backdrop — the stand-in
+    for the reference's NuScenes map-patch rendering (nusc_viz.py:204-339).
+    """
     fig, ax = plt.subplots(figsize=(8, 8))
+    if drivable is not None:
+        mask = np.asarray(drivable)
+        ox, oy = np.asarray(drivable_origin)
+        H, W = mask.shape
+        ax.imshow(mask, origin="lower", cmap="Greys", alpha=0.15,
+                  extent=(ox, ox + W * drivable_res,
+                          oy, oy + H * drivable_res), zorder=0)
     offs = [0.0, 3.5, -3.5]
     for li in range(3):
         if lane_valids[li] > 0.5:
