@@ -200,6 +200,11 @@ class Config:
     # gather + double-buffered prefetch) instead of numpy slicing — the
     # native replacement for the reference's DataLoader(num_workers=8)
     use_shard_store: bool = False
+    # optimizer steps per dispatched program during training (lax.scan over
+    # stacked batches) — EXACT same steps/keys; amortizes the ~100 ms
+    # device-tunnel dispatch latency that otherwise dominates epochs.
+    # 1 = per-batch dispatch (mesh / shard-store / profiling paths)
+    train_chunk: int = 8
     time_profile: bool = False
 
     # ------------------------------------------------------------------

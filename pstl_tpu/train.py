@@ -18,6 +18,7 @@ re-architected TPU-first:
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Any, Dict, NamedTuple, Optional, Tuple
@@ -402,6 +403,51 @@ def make_train_step(cfg: Config, net: Net, formulas,
     return train_step
 
 
+METRIC_KEYS = ("loss", "loss_stl", "loss_diffusion", "loss_reg",
+               "loss_diversity", "loss_vae_bc", "loss_vae_kl", "loss_bc",
+               "acc", "tj_acc")
+
+
+def make_chunked_steps(cfg: Config, net: Net, formulas,
+                       coeffs: diffusion.Coeffs,
+                       opt: optax.GradientTransformation):
+    """Device-side epoch chunking: run ``cfg.train_chunk`` optimizer steps
+    per dispatched program as a ``lax.scan`` over stacked batches.
+
+    Through the device tunnel a dispatch costs ~100 ms while an e5 train
+    step computes in ~10 ms, so the per-batch loop is dispatch-bound
+    (measured 25 s/epoch for ~2 s of device work).  Chunking is EXACT —
+    the same steps with the same per-batch keys in the same order — only
+    the host/device boundary moves.  Metrics come back stacked per step.
+    """
+
+    def one_step(state, batch, key, train):
+        def loss_fn(p):
+            return batch_forward_and_loss(p, key, batch, cfg, net, formulas,
+                                          coeffs, train=train)
+        if train:
+            (_, rd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
+            updates, opt_state = opt.update(grads, state.opt_state,
+                                            state.params)
+            params = optax.apply_updates(state.params, updates)
+            state = TrainState(params, opt_state, state.step + 1)
+        else:
+            _, rd = loss_fn(state.params)
+        return state, {k: rd[k] for k in METRIC_KEYS if k in rd}
+
+    @functools.partial(jax.jit, static_argnames=("train",))
+    def chunk_fn(state: TrainState, batches: Dict[str, Array], keys: Array,
+                 train: bool):
+        def body(st, xs):
+            batch, key = xs
+            return one_step(st, batch, key, train)
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return chunk_fn
+
+
 def make_eval_step(cfg: Config, net: Net, formulas,
                    coeffs: diffusion.Coeffs):
     @jax.jit
@@ -493,6 +539,12 @@ def train(cfg: Config, ds: SceneDataset, mesh=None, log=print,
     state = TrainState(state.params, opt.init(state.params), state.step)
     train_step = make_train_step(cfg, net, formulas, coeffs, opt)
     eval_step = make_eval_step(cfg, net, formulas, coeffs)
+    # device-side epoch chunking (exact; see make_chunked_steps).  The
+    # mesh / shard-store / profiling paths keep per-batch dispatch.
+    use_chunk = (cfg.train_chunk > 1 and mesh is None
+                 and not cfg.use_shard_store and not cfg.time_profile)
+    chunk_fn = (make_chunked_steps(cfg, net, formulas, coeffs, opt)
+                if use_chunk else None)
 
     from pstl_tpu.utils.meters import EtaEstimator
     n_epochs = epochs if epochs is not None else cfg.epochs
@@ -525,6 +577,8 @@ def train(cfg: Config, ds: SceneDataset, mesh=None, log=print,
 
     eta = EtaEstimator(n_epochs, ds.split_len("train") // cfg.batch_size,
                        ds.split_len("val") // cfg.batch_size, cfg.viz_freq)
+    COLS = ("ego", "neighbors", "curr", "left", "right", "gt_", "params",
+            "tj_scores", "pre_stlp")
     for epi in range(n_epochs):
         for mode in ("train", "val"):
             md = MeterDict()
@@ -532,6 +586,56 @@ def train(cfg: Config, ds: SceneDataset, mesh=None, log=print,
             t0 = time.time()
             bi = -1
             timer = Timer() if cfg.time_profile else None
+            if chunk_fn is not None:
+                all_batches = [
+                    {k: v for k, v in b.items() if k.startswith(COLS)}
+                    for b in it]
+                ks = []
+                for _ in all_batches:
+                    key, k_step = jax.random.split(key)
+                    ks.append(k_step)
+                C = cfg.train_chunk
+                nb = len(all_batches)
+                i0 = 0
+                while i0 < nb:
+                    j = min(i0 + C, nb)
+                    if j - i0 == C:
+                        stacked = jax.tree_util.tree_map(
+                            lambda *xs: jnp.stack(
+                                [jnp.asarray(x) for x in xs]),
+                            *all_batches[i0:j])
+                        st2, rds = chunk_fn(state, stacked,
+                                            jnp.stack(ks[i0:j]),
+                                            mode == "train")
+                        if mode == "train":
+                            state = st2
+                        for k, v in rds.items():
+                            v = np.asarray(v)
+                            for t in range(C):
+                                md.update(k, float(v[t]))
+                    else:           # remainder: per-batch dispatch
+                        for t in range(i0, j):
+                            b = {k: jnp.asarray(v)
+                                 for k, v in all_batches[t].items()}
+                            if mode == "train":
+                                state, rd = train_step(state, b, ks[t])
+                            else:
+                                rd = eval_step(state, b, ks[t])
+                            for k in METRIC_KEYS:
+                                if k in rd:
+                                    md.update(k, float(rd[k]))
+                    bi = j - 1
+                    if mode == "train" and cfg.print_freq > 0 \
+                            and (i0 // C) % max(cfg.print_freq // C, 1) == 0:
+                        log(f"{mode:5s}[{epi:03d}|{bi:04d}] " + md.summary())
+                    i0 = j
+                dur = time.time() - t0
+                eta.update(mode, dur, n=max(bi + 1, 1))
+                if mode == "val":
+                    eta.epoch_done()
+                log(f"{mode:5s}[{epi:03d}] " + md.summary()
+                    + f" T:{dur:.1f}s ETA:{eta.eta_str()}")
+                continue
             for bi, batch in enumerate(it):
                 if timer:
                     timer.add("data")

@@ -51,6 +51,24 @@ def test_diffusion_loss_decreases():
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
 
 
+def test_chunked_epoch_exactly_matches_per_batch():
+    """Device-side epoch chunking (cfg.train_chunk) runs the SAME steps
+    with the SAME keys — final params must match per-batch dispatch
+    bit-for-bit, including a non-divisible remainder batch."""
+    cfg_a = tiny_cfg().with_(stl_bc_mask=False, epochs=2, train_chunk=1,
+                             exp_name=None, train_ratio=0.75)
+    cfg_b = cfg_a.with_(train_chunk=4)   # 6 train batches? bs=4, 8 scenes
+    st_a = train.train(cfg_a, SceneDataset.from_synthetic(cfg_a, n_scenes=12),
+                       log=lambda *a: None)
+    st_b = train.train(cfg_b, SceneDataset.from_synthetic(cfg_b, n_scenes=12),
+                       log=lambda *a: None)
+    la = jax.tree_util.tree_leaves(st_a.params)
+    lb = jax.tree_util.tree_leaves(st_b.params)
+    assert int(st_a.step) == int(st_b.step) > 0
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_vae_mode_trains():
     cfg = tiny_cfg(vae=True, diffusion=False, bc_weight=1.0)
     ds, formulas, coeffs, net, batch, state, opt = setup(cfg)
