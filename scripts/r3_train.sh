@@ -28,4 +28,5 @@ python scripts/closed_loop_eval.py exps/e2e_r3/models_e7v2 --guidance
 python scripts/closed_loop_eval.py exps/e2e_r3/models_e7v2 --strict
 python scripts/closed_loop_eval.py exps/e2e_r3/models_e7v2 --guidance --strict
 
+python scripts/fast_sampler_eval.py exps/e2e_r3/models_e7v2
 echo "R3_TRAIN_DONE"
