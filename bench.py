@@ -44,6 +44,18 @@ def main():
                  flex=True).finalize().with_(epochs=1, test=True)
     if os.environ.get("BENCH_PALLAS"):
         cfg = cfg.with_(use_pallas_clearance=True)
+    if os.environ.get("BENCH_REUSE_SEL"):
+        cfg = cfg.with_(guidance_reuse_selection=True)
+    mode = os.environ.get("BENCH_MODE", "heavy")
+    if mode == "parity":
+        # the EXACT guidance schedule behind the reference's published
+        # 0.379 s/plan Table-II row (README.md:175: --guidance_before 10
+        # --guidance_niters 1 --guidance_lr 0.04 --multi_cands 5): guide
+        # only the last 10 denoise steps with ONE Adam iteration.  The
+        # default "heavy" mode keeps the strictly harder all-99-steps
+        # x 3-iteration contract from round 1.
+        cfg = cfg.with_(guidance_before=10, guidance_niters=1,
+                        guidance_lr=0.04, multi_cands=5)
     if os.environ.get("BENCH_SAMPLER"):
         cfg = cfg.with_(sampler=os.environ["BENCH_SAMPLER"],
                         ddim_steps=int(os.environ.get("BENCH_DDIM_STEPS",
@@ -125,9 +137,10 @@ def main():
     med = sorted(chunk_s)[len(chunk_s) // 2]
     sps = bs * chunk / med
 
+    label = ("DDPM T=100 + STL guidance + RefineNet" if mode == "heavy"
+             else "DDPM T=100, reference-parity guidance schedule")
     result = {
-        "metric": "closed-loop agent-steps/sec/chip (DDPM T=100 + STL "
-                  "guidance + RefineNet)",
+        "metric": f"closed-loop agent-steps/sec/chip ({label})",
         "value": round(sps, 2),
         "unit": "agent-steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 2),

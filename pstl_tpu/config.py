@@ -195,6 +195,16 @@ class Config:
     # the compile time (208 s -> 749 s) — XLA already keeps the fused-loss
     # residuals out of HBM.  Kept as an opt-in for future shapes.
     guidance_remat: bool = False
+    # freeze the discrete argmin selections (nearest lane segment per (t,
+    # row), nearest ego-disc/neighbor-disc pair per (k, t, row)) at the
+    # posterior mean ONCE per denoise step and reuse them for all
+    # ``guidance_niters`` Adam iterations.  Exact for niters=1 (the
+    # reference's own closed-loop config, nusc_sim README row); for
+    # niters>1 iterations 2.. see selections that are one Adam step stale
+    # (the trust region is |delta| <= beta_t, so flips are rare).  Cuts the
+    # two heaviest guidance fusions — the (bs,T,S,R) lane-segment search
+    # and the (bs,K,T,nLe,nLn,R) disc-pair search — out of every iteration.
+    guidance_reuse_selection: bool = False
     use_pallas_clearance: bool = False        # fused min-clearance kernel
     # serve training batches from the C++ mmap shard store (thread-pool
     # gather + double-buffered prefetch) instead of numpy slicing — the

@@ -146,8 +146,11 @@ def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
     thres = 100.0 if maximize else cfg.stl_nn_thres
 
     if fused_loss is not None:
+        frozen = fused_loss.freeze(mu) \
+            if cfg.guidance_reuse_selection else None
+
         def loss_fn(mu_flat):
-            return fused_loss(mu_flat, thres)
+            return fused_loss(mu_flat, thres, frozen=frozen)
     else:
         def loss_fn(mu_flat):
             u = denormalize_controls(mu_flat, cfg, clip=False)

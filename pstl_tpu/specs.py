@@ -473,13 +473,10 @@ class CandMinorGuidanceLoss:
         return jax.scipy.special.logsumexp(suffix[:, :nt2] * tau,
                                            axis=1) / tau
 
-    def scores_r(self, muT: Array, tau: Optional[float] = None) -> Array:
-        """muT: (bs, T, 2, R) normalized controls, j-major.  Returns
-        per-row robustness (bs, R)."""
+    def _rollout(self, muT: Array):
+        """(bs,T,2,R) normalized controls -> ego states, candidate-minor."""
         cfg = self.cfg
-        if tau is None:
-            tau = cfg.smoothing_factor
-        bs, R, M, T = self.bs, self.R, self.M, cfg.nt
+        bs, R = self.bs, self.R
         w = muT[:, :, 0, :] * cfg.mul_w_max
         a = muT[:, :, 1, :] * cfg.mul_a_max
         th_in = self.th0 + cfg.dt * jnp.cumsum(w, axis=1)
@@ -494,8 +491,11 @@ class CandMinorGuidanceLoss:
             [zer, jnp.cumsum(v_s * cth * cfg.dt, axis=1)[:, :-1]], axis=1)
         y_s = self.y0 + jnp.concatenate(
             [zer, jnp.cumsum(v_s * sth * cfg.dt, axis=1)[:, :-1]], axis=1)
+        return x_s, y_s, th_s, v_s, cth, sth
 
-        # lane distance/heading, per-row lane baked into lane_r
+    def _lane_select(self, x_s: Array, y_s: Array):
+        """Nearest-segment search + endpoint gather (the (bs,T,S,R) hot
+        part of the lane terms).  Returns per-(t,row) segment constants."""
         S = self.lxr.shape[1]
         pdx = x_s[:, :, None, :] - self.lxr[:, None]          # (bs,T,S,R)
         pdy = y_s[:, :, None, :] - self.lyr[:, None]
@@ -510,6 +510,14 @@ class CandMinorGuidanceLoss:
         th2 = jnp.einsum("btsr,bsr->btr", sel, self.lthr[:, :-1])
         x3 = jnp.einsum("btsr,bsr->btr", sel, self.lxr[:, 1:])
         y3 = jnp.einsum("btsr,bsr->btr", sel, self.lyr[:, 1:])
+        return dict(x2=x2, y2=y2, th2=th2, x3=x3, y3=y3,
+                    first=(mi == 0), last=(mi == S - 2))
+
+    def _lane_terms(self, x_s, y_s, th_s, lsel):
+        """Signed lane distance + heading deviation from frozen-or-fresh
+        segment constants — (bs,T,R) elementwise only."""
+        cfg = self.cfg
+        x2, y2, x3, y3 = lsel["x2"], lsel["y2"], lsel["x3"], lsel["y3"]
         area = x_s * (y2 - y3) + x2 * (y3 - y_s) + x3 * (y_s - y2)
         bottom = jnp.sqrt((x2 - x3) ** 2 + (y2 - y3) ** 2)
         l2d = jnp.sqrt(jnp.clip((x_s - x2) ** 2 + (y_s - y2) ** 2, 1e-3))
@@ -522,28 +530,98 @@ class CandMinorGuidanceLoss:
             behind = ((x_s - x2) * (x3 - x2)
                       + (y_s - y2) * (y3 - y2)) <= 0
             ahead = ((x_s - x3) * (x2 - x3) + (y_s - y3) * (y2 - y3)) <= 0
-            behind_all = (mi == 0) & behind
-            ahead_all = (mi == S - 2) & ahead
+            behind_all = lsel["first"] & behind
+            ahead_all = lsel["last"] & ahead
             norm_c = ~(behind_all | ahead_all)
             sign = jnp.sign(d_all)
             d_all = (norm_c * d_all + behind_all * l2d * sign
                      + ahead_all * l2d1 * sign)
         if cfg.clip_dist:
             d_all = jnp.clip(d_all, -5.0, 5.0)
-        th_all = 1.0 - jnp.cos(th2 - th_s)
+        th_all = 1.0 - jnp.cos(lsel["th2"] - th_s)
+        return d_all, th_all
 
-        # neighbor clearance (pairwise stays in-registers under remat)
+    def _clear_select(self, x_s, y_s, cth, sth):
+        """Nearest (ego-disc, neighbor-disc) pair per (k,t,row) — the
+        (bs,K,T,nLe,nLn,R) hot part of the clearance.  Gathers the selected
+        ego-disc offset and neighbor-disc center via one-hot einsum (no
+        TPU gathers)."""
         exd = (x_s[:, :, None, :]
                + self.axe[None, None, :, None] * cth[:, :, None, :])
         eyd = (y_s[:, :, None, :]
                + self.axe[None, None, :, None] * sth[:, :, None, :])
         dxp = exd[:, None, :, :, None, :] - self.nx[:, :, :, None, :, None]
         dyp = eyd[:, None, :, :, None, :] - self.ny[:, :, :, None, :, None]
-        d2 = jnp.min(dxp * dxp + dyp * dyp, axis=(3, 4))      # (bs,K,T,R)
+        d2p = dxp * dxp + dyp * dyp           # (bs,K,T,nLe,nLn,R)
+        bs, K, T, nLe, nLn, R = d2p.shape
+        P = nLe * nLn
+        d2f = d2p.reshape(bs, K, T, P, R)
+        pi = jnp.argmin(d2f, axis=3)                          # (bs,K,T,R)
+        selp = jax.lax.stop_gradient(
+            (jnp.arange(P)[None, None, None, :, None]
+             == pi[:, :, :, None, :]).astype(jnp.float32))    # (bs,K,T,P,R)
+        axe_p = jnp.tile(self.axe[:, None], (1, nLn)).reshape(P)
+        axe_sel = jnp.einsum("bktpr,p->bktr", selp, axe_p)
+        nxy = jnp.stack([self.nx, self.ny], axis=-1)          # (bs,K,T,nLn,2)
+        nxy_p = jnp.tile(nxy[:, :, :, None], (1, 1, 1, nLe, 1, 1)
+                         ).reshape(bs, K, T, P, 2)
+        nx_sel = jnp.einsum("bktpr,bktp->bktr", selp, nxy_p[..., 0])
+        ny_sel = jnp.einsum("bktpr,bktp->bktr", selp, nxy_p[..., 1])
+        return dict(axe=axe_sel, nx=nx_sel, ny=ny_sel)
+
+    def _clear_mnd(self, x_s, y_s, cth, sth, csel):
+        """Min neighbor clearance signal (bs,T,R)."""
+        if csel is None:
+            # exact: full pairwise min (pairwise stays in-registers)
+            exd = (x_s[:, :, None, :]
+                   + self.axe[None, None, :, None] * cth[:, :, None, :])
+            eyd = (y_s[:, :, None, :]
+                   + self.axe[None, None, :, None] * sth[:, :, None, :])
+            dxp = (exd[:, None, :, :, None, :]
+                   - self.nx[:, :, :, None, :, None])
+            dyp = (eyd[:, None, :, :, None, :]
+                   - self.ny[:, :, :, None, :, None])
+            d2 = jnp.min(dxp * dxp + dyp * dyp, axis=(3, 4))  # (bs,K,T,R)
+        else:
+            # frozen pair: (bs,K,T,R) elementwise only
+            exd = x_s[:, None] + csel["axe"] * cth[:, None]
+            eyd = y_s[:, None] + csel["axe"] * sth[:, None]
+            d2 = ((exd - csel["nx"]) ** 2 + (eyd - csel["ny"]) ** 2)
         per = jnp.sqrt(d2 + 1e-12) - self.re - self.rn[..., None]
         vk = self.nvalid[..., None]
         masked = jnp.clip(per, -5.0, 20.0) * vk + (1.0 - vk) * 100.0
-        mnd = jnp.min(masked, axis=1)                         # (bs,T,R)
+        return jnp.min(masked, axis=1)                        # (bs,T,R)
+
+    def freeze(self, mu: Array) -> Dict[str, Dict[str, Array]]:
+        """Compute the discrete selections (nearest lane segment, nearest
+        disc pair) at the current posterior mean, for reuse across the
+        Adam iterations of one denoise step (cfg.guidance_reuse_selection).
+        mu: (N, nt*2) m-major, the sampler's layout."""
+        muT = self._to_cand_minor(mu)
+        x_s, y_s, th_s, v_s, cth, sth = self._rollout(muT)
+        return dict(lane=self._lane_select(x_s, y_s),
+                    clear=self._clear_select(x_s, y_s, cth, sth))
+
+    def scores_r(self, muT: Array, tau: Optional[float] = None,
+                 frozen=None) -> Array:
+        """muT: (bs, T, 2, R) normalized controls, j-major.  Returns
+        per-row robustness (bs, R).  ``frozen`` (from :meth:`freeze`)
+        replaces the argmin searches with precomputed selections."""
+        cfg = self.cfg
+        if tau is None:
+            tau = cfg.smoothing_factor
+        bs, R, M, T = self.bs, self.R, self.M, cfg.nt
+        x_s, y_s, th_s, v_s, cth, sth = self._rollout(muT)
+
+        # lane distance/heading, per-row lane baked into lane_r
+        lsel = frozen["lane"] if frozen is not None \
+            else self._lane_select(x_s, y_s)
+        d_all, th_all = self._lane_terms(x_s, y_s, th_s, lsel)
+
+        # neighbor clearance
+        mnd = self._clear_mnd(x_s, y_s, cth, sth,
+                              frozen["clear"] if frozen is not None
+                              else None)
 
         P = lambda i: self.stlp_r[:, i][:, None, :]           # (bs,1,R)
         Ps = lambda i, sl: self.stlp_r[:, i, sl][:, None, :]
@@ -582,14 +660,17 @@ class CandMinorGuidanceLoss:
         return jnp.concatenate([s_keep, s_change],
                                axis=1).astype(jnp.float32)    # (bs, R)
 
-    def __call__(self, mu: Array, thres: float,
-                 tau: Optional[float] = None) -> Array:
-        """mu: (N, nt*2) normalized, m-major — the sampler's layout."""
+    def _to_cand_minor(self, mu: Array) -> Array:
+        """(N, nt*2) m-major sampler layout -> (bs, T, 2, R) j-major."""
         cfg = self.cfg
         muT = mu.reshape(self.bs, self.M, 3, cfg.nt, 2)
-        muT = jnp.transpose(muT, (0, 3, 4, 2, 1)).reshape(
+        return jnp.transpose(muT, (0, 3, 4, 2, 1)).reshape(
             self.bs, cfg.nt, 2, self.R)
-        scores = self.scores_r(muT, tau)
+
+    def __call__(self, mu: Array, thres: float,
+                 tau: Optional[float] = None, frozen=None) -> Array:
+        """mu: (N, nt*2) normalized, m-major — the sampler's layout."""
+        scores = self.scores_r(self._to_cand_minor(mu), tau, frozen=frozen)
         return mask_mean(jax.nn.relu(thres - scores), self.valid_r)
 
 

@@ -274,6 +274,59 @@ class TestTiledScorer:
             frac_diff = np.mean(np.abs(g_ref - g_f) > 1e-3 * scale)
             assert frac_diff < 0.05, frac_diff
 
+    def test_frozen_selection_guidance(self):
+        """cfg.guidance_reuse_selection: selections frozen at the same mu
+        give EXACTLY the unfrozen loss and gradient (both paths
+        stop-gradient the same argmins); after an Adam-sized perturbation
+        the frozen loss stays within the trust-region tolerance; and the
+        full _guidance_step with niters=1 is bit-identical frozen vs not
+        (the reference's own closed-loop config, README.md:175)."""
+        from pstl_tpu import diffusion
+
+        cfg, batch, dense, _ = self._setup(True, seed=9)
+        bs, M = 3, cfg.n_randoms
+        N = bs * M * 3
+        rng = np.random.RandomState(11)
+        states = jnp.asarray(rng.randn(bs, 4).astype(np.float32))
+        states = states.at[:, 3].set(jnp.abs(states[:, 3]) * 3)
+        valid = dense["valids_dense"].reshape(-1)
+        mu = jnp.asarray(rng.randn(N, cfg.nt * 2).astype(np.float32))
+        fused = specs.make_guidance_loss(batch, dense, cfg, states, valid)
+
+        frozen = jax.jit(fused.freeze)(mu)
+        l_exact = jax.jit(lambda m: fused(m, 100.0))(mu)
+        l_froz = jax.jit(lambda m: fused(m, 100.0, frozen=frozen))(mu)
+        np.testing.assert_allclose(float(l_froz), float(l_exact),
+                                   rtol=1e-6)
+        g_exact = np.asarray(jax.jit(jax.grad(
+            lambda m: fused(m, 100.0)))(mu))
+        g_froz = np.asarray(jax.jit(jax.grad(
+            lambda m: fused(m, 100.0, frozen=frozen)))(mu))
+        np.testing.assert_allclose(g_froz, g_exact, rtol=1e-5, atol=1e-6)
+
+        mu2 = mu + 0.01 * jnp.sign(jnp.asarray(
+            rng.randn(N, cfg.nt * 2).astype(np.float32)))
+        l2_exact = float(jax.jit(lambda m: fused(m, 100.0))(mu2))
+        l2_froz = float(jax.jit(
+            lambda m: fused(m, 100.0, frozen=frozen))(mu2))
+        assert abs(l2_froz - l2_exact) < 0.05 * max(abs(l2_exact), 1.0)
+
+        states_flat = jnp.broadcast_to(
+            states[:, None, None], (bs, M, 3, 4)).reshape(N, 4)
+        score_rows = specs.make_score_rows(batch, dense, cfg)
+        beta = jnp.float32(0.02)
+        cfg1 = cfg.with_(guidance_niters=1, guidance_lr=0.04)
+        ctx = diffusion.make_guidance_ctx(score_rows, valid, states_flat,
+                                          fused)
+        out_plain = jax.jit(lambda m: diffusion._guidance_step(
+            m, beta, ctx, cfg1, True))(mu)
+        out_froz = jax.jit(lambda m: diffusion._guidance_step(
+            m, beta, ctx, cfg1.with_(guidance_reuse_selection=True),
+            True))(mu)
+        np.testing.assert_allclose(np.asarray(out_froz),
+                                   np.asarray(out_plain),
+                                   rtol=1e-6, atol=1e-7)
+
     def test_gradient_matches(self):
         cfg, batch, dense, trajs = self._setup(True, seed=4)
         scorer = specs.TiledScorer(batch, dense["stlp_dense"], cfg)
