@@ -44,7 +44,11 @@ def main():
                  flex=True).finalize().with_(epochs=1, test=True)
     if os.environ.get("BENCH_PALLAS"):
         cfg = cfg.with_(use_pallas_clearance=True)
-    if os.environ.get("BENCH_REUSE_SEL"):
+    # frozen argmin selections across the per-step Adam iterations:
+    # measured 242.2 vs 213.3 steps/s (1.135x) metric-neutral (compliance
+    # 0.935 vs 0.939, zero collision/OOL both) — docs/PERF.md round 3.
+    # BENCH_EXACT_SEL=1 restores per-iteration re-selection.
+    if not os.environ.get("BENCH_EXACT_SEL"):
         cfg = cfg.with_(guidance_reuse_selection=True)
     mode = os.environ.get("BENCH_MODE", "heavy")
     if mode == "parity":

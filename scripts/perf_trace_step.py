@@ -21,6 +21,8 @@ cfg = Config(diffusion=True, rect_head=True, diverse_loss=True,
              multi_cands=10, guidance=True, guidance_niters=3,
              n_rolls=3, n_randoms=64, n_neighbors=8,
              flex=True).finalize().with_(epochs=1, test=True)
+if os.environ.get("P_REUSE_SEL"):
+    cfg = cfg.with_(guidance_reuse_selection=True)
 bs = int(os.environ.get("BENCH_SCENES", "16"))
 data = synthetic.generate_dataset(0, bs, cfg, scene_len=38)
 scenes = sim.scenes_from_dataset(data)
