@@ -146,12 +146,22 @@ def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
     thres = 100.0 if maximize else cfg.stl_nn_thres
 
     if fused_loss is not None:
-        frozen = fused_loss.freeze(mu) \
+        # the whole Adam loop runs in candidate-minor (bs, T, 2, R)
+        # layout: one transpose in, one out, instead of a layout
+        # round-trip inside every iteration's forward+backward (Adam and
+        # the trust-region clip are elementwise, so the optimization is
+        # identical under the permutation)
+        mu_init = fused_loss._to_cand_minor(mu)
+        post = fused_loss._from_cand_minor
+        frozen = fused_loss.freeze_cm(mu_init) \
             if cfg.guidance_reuse_selection else None
 
-        def loss_fn(mu_flat):
-            return fused_loss(mu_flat, thres, frozen=frozen)
+        def loss_fn(mu_cm):
+            return fused_loss.loss_cm(mu_cm, thres, frozen=frozen)
     else:
+        mu_init = mu
+        post = lambda x: x
+
         def loss_fn(mu_flat):
             u = denormalize_controls(mu_flat, cfg, clip=False)
             trajs = dyn.rollout(states_flat, u, cfg.dt)
@@ -163,7 +173,6 @@ def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
             loss_fn, policy=jax.checkpoint_policies.nothing_saveable)
     grad_fn = jax.grad(loss_fn)
     lr, b1, b2, eps = cfg.guidance_lr, 0.9, 0.999, 1e-8
-    mu_init = mu
 
     def body(it, carry):
         mu_opt, m, v = carry
@@ -182,8 +191,8 @@ def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
 
     mu_opt, _, _ = jax.lax.fori_loop(
         0, cfg.guidance_niters, body,
-        (mu_init, jnp.zeros_like(mu), jnp.zeros_like(mu)))
-    return jax.lax.stop_gradient(mu_opt)
+        (mu_init, jnp.zeros_like(mu_init), jnp.zeros_like(mu_init)))
+    return jax.lax.stop_gradient(post(mu_opt))
 
 
 def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],

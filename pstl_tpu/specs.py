@@ -592,16 +592,6 @@ class CandMinorGuidanceLoss:
         masked = jnp.clip(per, -5.0, 20.0) * vk + (1.0 - vk) * 100.0
         return jnp.min(masked, axis=1)                        # (bs,T,R)
 
-    def freeze(self, mu: Array) -> Dict[str, Dict[str, Array]]:
-        """Compute the discrete selections (nearest lane segment, nearest
-        disc pair) at the current posterior mean, for reuse across the
-        Adam iterations of one denoise step (cfg.guidance_reuse_selection).
-        mu: (N, nt*2) m-major, the sampler's layout."""
-        muT = self._to_cand_minor(mu)
-        x_s, y_s, th_s, v_s, cth, sth = self._rollout(muT)
-        return dict(lane=self._lane_select(x_s, y_s),
-                    clear=self._clear_select(x_s, y_s, cth, sth))
-
     def scores_r(self, muT: Array, tau: Optional[float] = None,
                  frozen=None) -> Array:
         """muT: (bs, T, 2, R) normalized controls, j-major.  Returns
@@ -667,11 +657,38 @@ class CandMinorGuidanceLoss:
         return jnp.transpose(muT, (0, 3, 4, 2, 1)).reshape(
             self.bs, cfg.nt, 2, self.R)
 
+    def _from_cand_minor(self, muT: Array) -> Array:
+        """(bs, T, 2, R) j-major -> (N, nt*2) m-major (inverse of
+        :meth:`_to_cand_minor`)."""
+        cfg = self.cfg
+        x = muT.reshape(self.bs, cfg.nt, 2, 3, self.M)
+        return jnp.transpose(x, (0, 4, 3, 1, 2)).reshape(
+            self.bs * self.M * 3, cfg.nt * 2)
+
+    def freeze_cm(self, muT: Array) -> Dict[str, Dict[str, Array]]:
+        """:meth:`freeze` on an already candidate-minor (bs,T,2,R) mu."""
+        x_s, y_s, th_s, v_s, cth, sth = self._rollout(muT)
+        return dict(lane=self._lane_select(x_s, y_s),
+                    clear=self._clear_select(x_s, y_s, cth, sth))
+
+    def loss_cm(self, muT: Array, thres: float,
+                tau: Optional[float] = None, frozen=None) -> Array:
+        """Hinge loss on candidate-minor (bs,T,2,R) controls — lets the
+        guidance Adam loop stay in this layout so the m-major<->j-major
+        transpose runs once per denoise step instead of inside every
+        iteration's forward+backward."""
+        scores = self.scores_r(muT, tau, frozen=frozen)
+        return mask_mean(jax.nn.relu(thres - scores), self.valid_r)
+
+    def freeze(self, mu: Array) -> Dict[str, Dict[str, Array]]:
+        """:meth:`freeze_cm` from the sampler's m-major (N, nt*2) layout."""
+        return self.freeze_cm(self._to_cand_minor(mu))
+
     def __call__(self, mu: Array, thres: float,
                  tau: Optional[float] = None, frozen=None) -> Array:
         """mu: (N, nt*2) normalized, m-major — the sampler's layout."""
-        scores = self.scores_r(self._to_cand_minor(mu), tau, frozen=frozen)
-        return mask_mean(jax.nn.relu(thres - scores), self.valid_r)
+        return self.loss_cm(self._to_cand_minor(mu), thres, tau,
+                            frozen=frozen)
 
 
 def make_guidance_loss(batch: Dict[str, Array], dense: Dict[str, Array],

@@ -274,6 +274,19 @@ class TestTiledScorer:
             frac_diff = np.mean(np.abs(g_ref - g_f) > 1e-3 * scale)
             assert frac_diff < 0.05, frac_diff
 
+    def test_cand_minor_roundtrip(self):
+        """_from_cand_minor inverts _to_cand_minor (the guidance Adam loop
+        runs wholly in cm layout — the round-trip must be exact)."""
+        cfg, batch, dense, _ = self._setup(False, seed=3)
+        rng = np.random.RandomState(5)
+        states = jnp.asarray(rng.randn(3, 4).astype(np.float32))
+        valid = dense["valids_dense"].reshape(-1)
+        fused = specs.make_guidance_loss(batch, dense, cfg, states, valid)
+        mu = jnp.asarray(
+            rng.randn(3 * cfg.n_randoms * 3, cfg.nt * 2).astype(np.float32))
+        back = fused._from_cand_minor(fused._to_cand_minor(mu))
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(mu))
+
     def test_frozen_selection_guidance(self):
         """cfg.guidance_reuse_selection: selections frozen at the same mu
         give EXACTLY the unfrozen loss and gradient (both paths
