@@ -9,8 +9,9 @@ ORDER_I = ["vae_mono", "vae_aug", "ddpm_mono", "ddpm_aug", "trafficsim",
            "ctg", "ours", "ours_guidance", "ours_v2", "ours_v2_guidance",
            "ours_v2_guidance_heavy", "ours_v3", "ours_v3_guidance"]
 ORDER_II = ["vae_aug", "ddpm_aug", "trafficsim", "ctg", "ours",
-            "ours_guidance", "ours_v2", "ours_v2_guidance", "ours_v3",
-            "ours_v3_guidance"]
+            "ours_guidance", "ours_v2", "ours_v2_guidance",
+            "ours_v2_cli", "ours_v2_cli_guidance", "ours_v2_strict",
+            "ours_v2_guidance_strict", "ours_v3", "ours_v3_guidance"]
 LABEL = {"vae_mono": "VAE", "vae_aug": "VAE (aug)", "ddpm_mono": "DDPM",
          "ddpm_aug": "DDPM (aug)", "trafficsim": "TrafficSim", "ctg": "CTG",
          "ours": "Ours (ref-exact DPP-only recipe)",
@@ -18,6 +19,10 @@ LABEL = {"vae_mono": "VAE", "vae_aug": "VAE (aug)", "ddpm_mono": "DDPM",
          "ours_v2": "Ours (STL-hinge recipe)",
          "ours_v2_guidance": "Ours+guidance",
          "ours_v2_guidance_heavy": "Ours+guidance (all-steps x3)",
+         "ours_v2_cli": "Ours (25-scene CLI protocol)",
+         "ours_v2_cli_guidance": "Ours+guidance (25-scene CLI protocol)",
+         "ours_v2_strict": "Ours (STRICT ref semantics)",
+         "ours_v2_guidance_strict": "Ours+guidance (STRICT ref semantics)",
          "ours_v3": "Ours (v3: longer e5)",
          "ours_v3_guidance": "Ours+guidance (v3, all-steps x3)"}
 
