@@ -70,11 +70,12 @@ def timeit(fn, x, iters=20, reps=5):
 base = jax.jit(gstep)
 print(f"default compile: {timeit(base, mu0):.3f} ms / 10-step scan")
 
-try:
-    lowered = jax.jit(gstep).lower(mu0)
-    compiled = lowered.compile(
-        compiler_options={"xla_tpu_scoped_vmem_limit_kib": KIB})
-    print(f"scoped-vmem {KIB} KiB accepted; "
-          f"{timeit(compiled, mu0):.3f} ms / 10-step scan")
-except Exception as e:  # noqa: BLE001
-    print(f"compiler_options path REJECTED: {type(e).__name__}: {e}")
+for kib in KIB.split(","):
+    try:
+        lowered = jax.jit(gstep).lower(mu0)
+        compiled = lowered.compile(
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": kib})
+        print(f"scoped-vmem {kib} KiB accepted; "
+              f"{timeit(compiled, mu0):.3f} ms / 10-step scan")
+    except Exception as e:  # noqa: BLE001
+        print(f"scoped-vmem {kib}: REJECTED: {type(e).__name__}: {e}")
