@@ -50,6 +50,9 @@ def main():
     # BENCH_EXACT_SEL=1 restores per-iteration re-selection.
     if not os.environ.get("BENCH_EXACT_SEL"):
         cfg = cfg.with_(guidance_reuse_selection=True)
+    if os.environ.get("BENCH_SEL_EVERY"):
+        cfg = cfg.with_(
+            guidance_sel_every=int(os.environ["BENCH_SEL_EVERY"]))
     mode = os.environ.get("BENCH_MODE", "heavy")
     if mode == "parity":
         # the EXACT guidance schedule behind the reference's published

@@ -205,6 +205,13 @@ class Config:
     # two heaviest guidance fusions — the (bs,T,S,R) lane-segment search
     # and the (bs,K,T,nLe,nLn,R) disc-pair search — out of every iteration.
     guidance_reuse_selection: bool = False
+    # with guidance_reuse_selection, refresh the frozen selections only on
+    # every k-th GUIDED denoise step (carried through the reverse-scan
+    # state in between).  1 = refresh every guided step (exact
+    # reuse-selection semantics).  Staleness across steps stays inside the
+    # shrinking |delta| <= beta_t trust region; A/B in docs/PERF.md.
+    # DDPM sampler only (DDIM/DPM++ refresh per step).
+    guidance_sel_every: int = 1
     use_pallas_clearance: bool = False        # fused min-clearance kernel
     # serve training batches from the C++ mmap shard store (thread-pool
     # gather + double-buffered prefetch) instead of numpy slicing — the

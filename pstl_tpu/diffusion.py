@@ -131,8 +131,22 @@ def make_guidance_ctx(score_rows: Callable, valid: Array,
     return (score_rows, valid, states_flat, fused_loss)
 
 
+def _refresh_schedule(trig: np.ndarray, k: int) -> np.ndarray:
+    """Static refresh mask for ``guidance_sel_every=k``: True on every k-th
+    GUIDED scan step (counting only steps where ``trig`` is True), so the
+    frozen selections are recomputed on the 1st, (k+1)-th, ... guided step
+    and reused in between."""
+    refresh = np.zeros_like(trig)
+    cnt = 0
+    for j in range(len(trig)):
+        if trig[j]:
+            refresh[j] = (cnt % k) == 0
+            cnt += 1
+    return refresh
+
+
 def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
-                   maximize: bool) -> Array:
+                   maximize: bool, frozen=None, mu_cm=None) -> Array:
     """Inner gradient ascent on STL robustness (nusc_train.py:599-627).
 
     mu: (N, nt*2) normalized posterior mean.  ctx from
@@ -140,6 +154,10 @@ def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
     copy of mu, then applies the reference's clamp: delta =
     clip(|mu'-mu|, beta_t) added positively (quirk) or the signed variant
     when the quirk flag is off.
+
+    ``frozen``/``mu_cm``: caller-provided frozen selections and the
+    candidate-minor view of mu (the ``guidance_sel_every`` carry path in
+    :func:`reverse_sample`); when None they are computed here.
     """
     score_rows, valid, states_flat, *rest = ctx
     fused_loss = rest[0] if rest else None
@@ -151,13 +169,14 @@ def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
         # round-trip inside every iteration's forward+backward (Adam and
         # the trust-region clip are elementwise, so the optimization is
         # identical under the permutation)
-        mu_init = fused_loss._to_cand_minor(mu)
+        mu_init = mu_cm if mu_cm is not None \
+            else fused_loss._to_cand_minor(mu)
         post = fused_loss._from_cand_minor
-        frozen = fused_loss.freeze_cm(mu_init) \
-            if cfg.guidance_reuse_selection else None
+        if frozen is None and cfg.guidance_reuse_selection:
+            frozen = fused_loss.freeze_cm(mu_init)
 
-        def loss_fn(mu_cm):
-            return fused_loss.loss_cm(mu_cm, thres, frozen=frozen)
+        def loss_fn(mu_cm_):
+            return fused_loss.loss_cm(mu_cm_, thres, frozen=frozen)
     else:
         mu_init = mu
         post = lambda x: x
@@ -219,14 +238,32 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
     k_init, k_loop = jax.random.split(key)
     x0 = jax.random.normal(k_init, (n, cfg.nt * 2))
 
+    # guidance_sel_every > 1: carry the frozen argmin selections across
+    # denoise steps, refreshing every k-th guided step (staleness stays
+    # inside the |delta| <= beta_t trust region, like the intra-step reuse
+    # of guidance_reuse_selection).
+    fused_loss = (guidance_ctx[3] if guidance_ctx is not None
+                  and len(guidance_ctx) > 3 else None)
+    carry_sel = (use_guidance and cfg.guidance_reuse_selection
+                 and fused_loss is not None and cfg.guidance_sel_every > 1)
+    if carry_sel:
+        refresh = jnp.asarray(
+            _refresh_schedule(trig_np, cfg.guidance_sel_every))
+        frozen0 = fused_loss.freeze_zeros()
+
     if mono:
         ext_extra = {"stlp": tmp_stlp, "gt_stlp": tmp_stlp}
     else:
         ext_extra = {"stlp": batch["stlp_dense"]}
 
     def step(carry, xs):
-        x, k = carry
-        t_scalar, triggered = xs          # t = T-1-j for step j
+        if carry_sel:
+            x, k, frozen = carry
+            t_scalar, triggered, refresh_f = xs
+        else:
+            x, k = carry
+            t_scalar, triggered = xs      # t = T-1-j for step j
+            frozen = None
         k, k_z = jax.random.split(k)
         t_col = jnp.full((n, 1), t_scalar, dtype=jnp.float32)
         ext = {"timestep": t_col, "highlevel": highlevel, "noise": x,
@@ -237,20 +274,35 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
         beta = coeffs.beta[t_scalar]
         mu = (x - ((1 - alpha) / jnp.sqrt(1 - alpha_hat)) * eps) / jnp.sqrt(alpha)
         if use_guidance:
-            if always_guided:   # static schedule: no cond, straight-line HLO
-                mu = _guidance_step(mu, beta, guidance_ctx, cfg, maximize)
+            if carry_sel:
+                def guided(m, f):
+                    m_cm = fused_loss._to_cand_minor(m)
+                    f2 = jax.lax.cond(
+                        refresh_f,
+                        lambda ff: fused_loss.freeze_cm(m_cm),
+                        lambda ff: ff, f)
+                    return _guidance_step(m, beta, guidance_ctx, cfg,
+                                          maximize, frozen=f2,
+                                          mu_cm=m_cm), f2
             else:
-                mu = jax.lax.cond(
-                    triggered,
-                    lambda m: _guidance_step(m, beta, guidance_ctx, cfg,
-                                             maximize),
-                    lambda m: m, mu)
+                def guided(m, f):
+                    return _guidance_step(m, beta, guidance_ctx, cfg,
+                                          maximize), f
+            if always_guided:   # static schedule: no cond, straight-line HLO
+                mu, frozen = guided(mu, frozen)
+            else:
+                mu, frozen = jax.lax.cond(
+                    triggered, guided, lambda m, f: (m, f), mu, frozen)
         z = jnp.where(t_scalar > 1, jax.random.normal(k_z, x.shape), 0.0)
         x_next = mu + jnp.sqrt(beta) * z
-        return (x_next, k), (x_next if cfg.diff_full else None)
+        new_carry = (x_next, k, frozen) if carry_sel else (x_next, k)
+        return new_carry, (x_next if cfg.diff_full else None)
 
     ts = jnp.arange(T - 1, 0, -1)
-    (x_last, _), xs_hist = jax.lax.scan(step, (x0, k_loop), (ts, trig))
+    xs_in = (ts, trig, refresh) if carry_sel else (ts, trig)
+    init_carry = (x0, k_loop, frozen0) if carry_sel else (x0, k_loop)
+    final_carry, xs_hist = jax.lax.scan(step, init_carry, xs_in)
+    x_last = final_carry[0]
     if not cfg.diff_full:
         # --diff_full off (reference keeps only the final decode,
         # nusc_train.py:630): nothing stacked, all_steps is just the result

@@ -505,11 +505,12 @@ class CandMinorGuidanceLoss:
         sel = jax.lax.stop_gradient(
             (jnp.arange(S - 1)[None, None, :, None]
              == mi[:, :, None, :]).astype(jnp.float32))
-        x2 = jnp.einsum("btsr,bsr->btr", sel, self.lxr[:, :-1])
-        y2 = jnp.einsum("btsr,bsr->btr", sel, self.lyr[:, :-1])
-        th2 = jnp.einsum("btsr,bsr->btr", sel, self.lthr[:, :-1])
-        x3 = jnp.einsum("btsr,bsr->btr", sel, self.lxr[:, 1:])
-        y3 = jnp.einsum("btsr,bsr->btr", sel, self.lyr[:, 1:])
+        # all 5 endpoint payloads in ONE pass over the (bs,T,S-1,R)
+        # one-hot instead of five (the one-hot dominates the bandwidth)
+        payload = jnp.stack([self.lxr[:, :-1], self.lyr[:, :-1],
+                             self.lthr[:, :-1], self.lxr[:, 1:],
+                             self.lyr[:, 1:]], axis=1)        # (bs,5,S-1,R)
+        x2, y2, th2, x3, y3 = jnp.einsum("btsr,bcsr->cbtr", sel, payload)
         return dict(x2=x2, y2=y2, th2=th2, x3=x3, y3=y3,
                     first=(mi == 0), last=(mi == S - 2))
 
@@ -557,16 +558,18 @@ class CandMinorGuidanceLoss:
         P = nLe * nLn
         d2f = d2p.reshape(bs, K, T, P, R)
         pi = jnp.argmin(d2f, axis=3)                          # (bs,K,T,R)
-        selp = jax.lax.stop_gradient(
-            (jnp.arange(P)[None, None, None, :, None]
-             == pi[:, :, :, None, :]).astype(jnp.float32))    # (bs,K,T,P,R)
-        axe_p = jnp.tile(self.axe[:, None], (1, nLn)).reshape(P)
-        axe_sel = jnp.einsum("bktpr,p->bktr", selp, axe_p)
-        nxy = jnp.stack([self.nx, self.ny], axis=-1)          # (bs,K,T,nLn,2)
-        nxy_p = jnp.tile(nxy[:, :, :, None], (1, 1, 1, nLe, 1, 1)
-                         ).reshape(bs, K, T, P, 2)
-        nx_sel = jnp.einsum("bktpr,bktp->bktr", selp, nxy_p[..., 0])
-        ny_sel = jnp.einsum("bktpr,bktp->bktr", selp, nxy_p[..., 1])
+        # decompose the flat pair argmin into (ego-disc, neighbor-disc)
+        # indices: two nL-wide one-hots instead of one P-wide (4x smaller
+        # selection tensors, no (bs,K,T,P,2) payload tile)
+        ie = jax.lax.stop_gradient(pi // nLn)
+        inn = jax.lax.stop_gradient(pi % nLn)
+        sele = (jnp.arange(nLe)[None, None, None, :, None]
+                == ie[:, :, :, None, :]).astype(jnp.float32)  # (bs,K,T,e,R)
+        seln = (jnp.arange(nLn)[None, None, None, :, None]
+                == inn[:, :, :, None, :]).astype(jnp.float32)
+        axe_sel = jnp.einsum("bkter,e->bktr", sele, self.axe)
+        nxy = jnp.stack([self.nx, self.ny], axis=-2)          # (bs,K,T,2,nLn)
+        nx_sel, ny_sel = jnp.einsum("bktnr,bktcn->cbktr", seln, nxy)
         return dict(axe=axe_sel, nx=nx_sel, ny=ny_sel)
 
     def _clear_mnd(self, x_s, y_s, cth, sth, csel):
@@ -670,6 +673,19 @@ class CandMinorGuidanceLoss:
         x_s, y_s, th_s, v_s, cth, sth = self._rollout(muT)
         return dict(lane=self._lane_select(x_s, y_s),
                     clear=self._clear_select(x_s, y_s, cth, sth))
+
+    def freeze_zeros(self) -> Dict[str, Dict[str, Array]]:
+        """Zero-filled pytree with :meth:`freeze_cm`'s exact structure —
+        the initial scan carry for ``cfg.guidance_sel_every > 1`` (the
+        first guided step always refreshes, so the zeros are never read)."""
+        bs, T, R = self.bs, self.cfg.nt, self.R
+        K = self.nx.shape[1]
+        f = lambda: jnp.zeros((bs, T, R), jnp.float32)
+        b = lambda: jnp.zeros((bs, T, R), bool)
+        fk = lambda: jnp.zeros((bs, K, T, R), jnp.float32)
+        return dict(lane=dict(x2=f(), y2=f(), th2=f(), x3=f(), y3=f(),
+                              first=b(), last=b()),
+                    clear=dict(axe=fk(), nx=fk(), ny=fk()))
 
     def loss_cm(self, muT: Array, thres: float,
                 tau: Optional[float] = None, frozen=None) -> Array:

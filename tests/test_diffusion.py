@@ -67,7 +67,7 @@ def test_prep_statistics():
                                rtol=1e-4, atol=1e-5)
 
 
-def make_sampler_setup(cfg, bs=1, guidance=False):
+def make_sampler_setup(cfg, bs=1, guidance=False, fused=False):
     batch = make_batch(cfg, bs=bs)
     batch["neighbors"] = batch["neighbor_trajs_aug"][:, :, 0, :]
     batch["neighbors_traj"] = batch["neighbor_trajs_aug"]
@@ -91,9 +91,14 @@ def make_sampler_setup(cfg, bs=1, guidance=False):
     formulas = specs.build_formulas(cfg)
     signal_base = specs.dense_signal_input(dense)
     score_rows = specs.make_score_rows(batch, dense, cfg)
-    ctx = diffusion.make_guidance_ctx(
-        score_rows, dense["valids_dense"].reshape(-1), states_flat) \
-        if guidance else None
+    if guidance:
+        fl = specs.make_guidance_loss(
+            batch, dense, cfg, states,
+            dense["valids_dense"].reshape(-1)) if fused else None
+        ctx = diffusion.make_guidance_ctx(
+            score_rows, dense["valids_dense"].reshape(-1), states_flat, fl)
+    else:
+        ctx = None
     return (apply_fn, dense, feature, states_flat, coeffs, formulas,
             signal_base, ctx, n)
 
@@ -159,6 +164,40 @@ def test_guidance_trigger_schedule():
     trig = diffusion._trigger_schedule(cfg)
     want = [i <= 4 for i in range(9, 0, -1)]
     assert list(trig) == want
+
+
+def test_guidance_sel_every():
+    """guidance_sel_every: (a) the static refresh schedule counts only
+    GUIDED steps; (b) with a single guided step the carried-selection path
+    (k=2) is numerically identical to k=1 (the one step always refreshes,
+    so only the plumbing differs); (c) a multi-trigger k=2 run stays
+    finite."""
+    trig = np.array([0, 1, 1, 0, 1, 1, 1], bool)
+    assert list(diffusion._refresh_schedule(trig, 2)) == [
+        False, True, False, False, True, False, True]
+
+    cfg = small_cfg(guidance=True, guidance_niters=2, guidance_lr=0.05,
+                    guidance_reuse_selection=True, guidance_sets=(3,))
+    out = {}
+    for k in (1, 2):
+        cfgk = cfg.with_(guidance_sel_every=k)
+        (apply_fn, dense, feature, _states_flat, coeffs, _formulas,
+         _sig, ctx, n) = make_sampler_setup(cfgk, guidance=True, fused=True)
+        c, _ = diffusion.reverse_sample(
+            jax.random.PRNGKey(7), apply_fn, dense,
+            dense["highlevel_dense"], feature, cfgk, coeffs, n,
+            guidance_ctx=ctx)
+        out[k] = np.asarray(c)
+    np.testing.assert_allclose(out[2], out[1], rtol=1e-6, atol=1e-7)
+
+    cfg2 = small_cfg(guidance=True, guidance_niters=1,
+                     guidance_reuse_selection=True, guidance_sel_every=2)
+    (apply_fn, dense, feature, _states_flat, coeffs, _formulas,
+     _sig, ctx, n) = make_sampler_setup(cfg2, guidance=True, fused=True)
+    c, _ = diffusion.reverse_sample(
+        jax.random.PRNGKey(3), apply_fn, dense, dense["highlevel_dense"],
+        feature, cfg2, coeffs, n, guidance_ctx=ctx)
+    assert np.isfinite(np.asarray(c)).all()
 
 
 def test_multi_cands_selection():
