@@ -53,6 +53,12 @@ def main():
     if os.environ.get("BENCH_SEL_EVERY"):
         cfg = cfg.with_(
             guidance_sel_every=int(os.environ["BENCH_SEL_EVERY"]))
+    # bf16 levers (docs/PERF.md round 3): selection-field/frozen-payload
+    # geometry dtype and STL robustness accumulation dtype
+    if os.environ.get("BENCH_GEOM_DTYPE"):
+        cfg = cfg.with_(geometry_dtype=os.environ["BENCH_GEOM_DTYPE"])
+    if os.environ.get("BENCH_ROB_DTYPE"):
+        cfg = cfg.with_(robustness_dtype=os.environ["BENCH_ROB_DTYPE"])
     mode = os.environ.get("BENCH_MODE", "heavy")
     if mode == "parity":
         # the EXACT guidance schedule behind the reference's published

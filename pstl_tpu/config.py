@@ -181,6 +181,23 @@ class Config:
     mesh_axis_names: Tuple[str, ...] = ("data",)
     compute_dtype: str = "bfloat16"           # network matmul dtype
     robustness_dtype: str = "float32"         # STL robustness dtype
+    # dtype of the guidance loss's big SELECTION fields ((bs,T,S,R) lane
+    # distances, (bs,K,T,nLe,nLn,R) disc pairs) and the frozen per-(t,row)
+    # payloads streamed through every Adam iteration.  bfloat16 halves
+    # that HBM traffic; geometry is recentered per scene at the ego start
+    # (specs.CandMinorGuidanceLoss), so the bf16 rounding costs ~0.1 m on
+    # stored payloads only — the Adam-iteration arithmetic stays fp32.
+    geometry_dtype: str = "float32"
+    # run the whole DDPM reverse scan in candidate-minor (bs, nt, 2, R)
+    # layout (models.make_cm_eps_fn): the policy MLP's linear first layer
+    # splits into a precomputed per-row base + per-step time vector +
+    # candidate-minor noise einsum, so the scan needs NO per-step layout
+    # transposes (they measured 6.5 ms/plan-step, docs/PERF.md round 3).
+    # Takes effect with diffusion + guidance + the fused loss; the RNG
+    # draw shapes differ from the row-major path, so per-candidate noise
+    # realizations differ (same distribution; layout-parity is tested
+    # with a pinned noise stream in tests/test_diffusion.py)
+    cm_sampler: bool = True
     # TiledScorer fast path for the canonical dense layout (exact same
     # scores; per-row formula selection + per-scene constants); False falls
     # back to ClauseBank over pre-tiled signals

@@ -145,8 +145,14 @@ def _refresh_schedule(trig: np.ndarray, k: int) -> np.ndarray:
     return refresh
 
 
+# seam for layout-parity tests: the reverse samplers draw noise through
+# this alias so a test can pin the draw to a layout-independent stream
+_normal = jax.random.normal
+
+
 def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
-                   maximize: bool, frozen=None, mu_cm=None) -> Array:
+                   maximize: bool, frozen=None, mu_cm=None,
+                   cm_io: bool = False) -> Array:
     """Inner gradient ascent on STL robustness (nusc_train.py:599-627).
 
     mu: (N, nt*2) normalized posterior mean.  ctx from
@@ -158,10 +164,13 @@ def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
     ``frozen``/``mu_cm``: caller-provided frozen selections and the
     candidate-minor view of mu (the ``guidance_sel_every`` carry path in
     :func:`reverse_sample`); when None they are computed here.
+    ``cm_io``: the caller's mu ALREADY lives in candidate-minor (the
+    cm-sampler path) — return candidate-minor too, no transposes at all.
     """
     score_rows, valid, states_flat, *rest = ctx
     fused_loss = rest[0] if rest else None
     thres = 100.0 if maximize else cfg.stl_nn_thres
+    assert not cm_io or fused_loss is not None
 
     if fused_loss is not None:
         # the whole Adam loop runs in candidate-minor (bs, T, 2, R)
@@ -171,7 +180,7 @@ def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
         # identical under the permutation)
         mu_init = mu_cm if mu_cm is not None \
             else fused_loss._to_cand_minor(mu)
-        post = fused_loss._from_cand_minor
+        post = (lambda x: x) if cm_io else fused_loss._from_cand_minor
         if frozen is None and cfg.guidance_reuse_selection:
             frozen = fused_loss.freeze_cm(mu_init)
 
@@ -218,7 +227,8 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
                    highlevel: Array, feature: Array, cfg: Config,
                    coeffs: Coeffs, n: int,
                    guidance_ctx=None, maximize: bool = False,
-                   mono: bool = False, tmp_stlp: Optional[Array] = None):
+                   mono: bool = False, tmp_stlp: Optional[Array] = None,
+                   cm_fn: Optional[Callable] = None):
     """Full reverse DDPM as one ``lax.scan`` (``diffusion_rollout``,
     nusc_train.py:557-645).
 
@@ -236,7 +246,6 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
     always_guided = use_guidance and bool(trig_np.all())
     trig = jnp.asarray(trig_np)
     k_init, k_loop = jax.random.split(key)
-    x0 = jax.random.normal(k_init, (n, cfg.nt * 2))
 
     # guidance_sel_every > 1: carry the frozen argmin selections across
     # denoise steps, refreshing every k-th guided step (staleness stays
@@ -244,6 +253,14 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
     # of guidance_reuse_selection).
     fused_loss = (guidance_ctx[3] if guidance_ctx is not None
                   and len(guidance_ctx) > 3 else None)
+    # candidate-minor sampler: the whole reverse scan (net forward,
+    # posterior mean, guidance, noise injection) runs in (bs, nt, 2, R)
+    # layout — zero per-step transposes; one batched conversion at the end
+    use_cm = (cm_fn is not None and fused_loss is not None and use_guidance)
+    if use_cm:
+        x0 = _normal(k_init, (fused_loss.bs, cfg.nt, 2, fused_loss.R))
+    else:
+        x0 = _normal(k_init, (n, cfg.nt * 2))
     carry_sel = (use_guidance and cfg.guidance_reuse_selection
                  and fused_loss is not None and cfg.guidance_sel_every > 1)
     if carry_sel:
@@ -265,10 +282,13 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
             t_scalar, triggered = xs      # t = T-1-j for step j
             frozen = None
         k, k_z = jax.random.split(k)
-        t_col = jnp.full((n, 1), t_scalar, dtype=jnp.float32)
-        ext = {"timestep": t_col, "highlevel": highlevel, "noise": x,
-               **ext_extra}
-        eps = apply_fn(ext).reshape(n, cfg.nt * 2)
+        if use_cm:
+            eps = cm_fn(x, t_scalar)
+        else:
+            t_col = jnp.full((n, 1), t_scalar, dtype=jnp.float32)
+            ext = {"timestep": t_col, "highlevel": highlevel, "noise": x,
+                   **ext_extra}
+            eps = apply_fn(ext).reshape(n, cfg.nt * 2)
         alpha = coeffs.alpha[t_scalar]
         alpha_hat = coeffs.alpha_hat[t_scalar]
         beta = coeffs.beta[t_scalar]
@@ -276,24 +296,25 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
         if use_guidance:
             if carry_sel:
                 def guided(m, f):
-                    m_cm = fused_loss._to_cand_minor(m)
+                    m_cm = m if use_cm else fused_loss._to_cand_minor(m)
                     f2 = jax.lax.cond(
                         refresh_f,
                         lambda ff: fused_loss.freeze_cm(m_cm),
                         lambda ff: ff, f)
                     return _guidance_step(m, beta, guidance_ctx, cfg,
                                           maximize, frozen=f2,
-                                          mu_cm=m_cm), f2
+                                          mu_cm=m_cm, cm_io=use_cm), f2
             else:
                 def guided(m, f):
                     return _guidance_step(m, beta, guidance_ctx, cfg,
-                                          maximize), f
+                                          maximize, mu_cm=m if use_cm
+                                          else None, cm_io=use_cm), f
             if always_guided:   # static schedule: no cond, straight-line HLO
                 mu, frozen = guided(mu, frozen)
             else:
                 mu, frozen = jax.lax.cond(
                     triggered, guided, lambda m, f: (m, f), mu, frozen)
-        z = jnp.where(t_scalar > 1, jax.random.normal(k_z, x.shape), 0.0)
+        z = jnp.where(t_scalar > 1, _normal(k_z, x.shape), 0.0)
         x_next = mu + jnp.sqrt(beta) * z
         new_carry = (x_next, k, frozen) if carry_sel else (x_next, k)
         return new_carry, (x_next if cfg.diff_full else None)
@@ -303,16 +324,18 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
     init_carry = (x0, k_loop, frozen0) if carry_sel else (x0, k_loop)
     final_carry, xs_hist = jax.lax.scan(step, init_carry, xs_in)
     x_last = final_carry[0]
+    conv = fused_loss._from_cand_minor if use_cm else (lambda v: v)
     if not cfg.diff_full:
         # --diff_full off (reference keeps only the final decode,
         # nusc_train.py:630): nothing stacked, all_steps is just the result
-        final = denormalize_controls(x_last, cfg)
+        final = denormalize_controls(conv(x_last), cfg)
         return final, final[None]
     # denormalized per-step decodings incl. the initial noise, excl. dup of
     # the final step: [x0, x_1, ..., x_{T-1}] -> T entries (reference's
-    # final_list, nusc_train.py:632-634)
+    # final_list, nusc_train.py:632-634).  In cm mode the layout converts
+    # here as ONE batched transpose over all T steps.
     full = jnp.concatenate([x0[None], xs_hist], axis=0)
-    all_steps = jax.vmap(lambda v: denormalize_controls(v, cfg))(full)
+    all_steps = jax.vmap(lambda v: denormalize_controls(conv(v), cfg))(full)
     return all_steps[-1], all_steps
 
 
@@ -450,6 +473,8 @@ def sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
     """Dispatch to the configured sampler (ddpm parity / ddim / dpm++)."""
     fn = {"ddim": reverse_sample_ddim,
           "dpmpp": reverse_sample_dpmpp}.get(cfg.sampler, reverse_sample)
+    if fn is not reverse_sample:
+        kw.pop("cm_fn", None)   # cm layout is a DDPM-scan optimization
     return fn(key, apply_fn, batch, highlevel, feature, cfg, coeffs, n, **kw)
 
 

@@ -30,6 +30,7 @@ from pstl_tpu import diffusion, metrics, specs
 from pstl_tpu.config import Config
 from pstl_tpu.data.dataset import SceneDataset, batch_iterator
 from pstl_tpu.models import Net
+from pstl_tpu.models import net as models
 from pstl_tpu.ops import dynamics as dyn
 from pstl_tpu.utils.meters import MeterDict
 
@@ -135,14 +136,18 @@ def _sample_and_score(params, key, batch, cfg: Config, net: Net, formulas,
             return net.apply(params, dense, e, prev_feature=feature,
                              n_randoms=S)
 
+        fused = (specs.make_guidance_loss(batch, dense, cfg, states,
+                                          valid, n_randoms=S)
+                 if cfg.guidance else None)
         guidance_ctx = (diffusion.make_guidance_ctx(
-            score_rows, valid, states_flat,
-            fused_loss=specs.make_guidance_loss(batch, dense, cfg, states,
-                                                valid, n_randoms=S))
+            score_rows, valid, states_flat, fused_loss=fused)
             if cfg.guidance else None)
+        cm_fn = (models.make_cm_eps_fn(params, dense, highlevel, feature,
+                                       cfg, n_randoms=S)
+                 if cfg.cm_sampler and fused is not None else None)
         nn_controls, all_steps = diffusion.sample(
             k_sample, apply_fn, dense, highlevel, feature, cfg, coeffs, N,
-            guidance_ctx=guidance_ctx)
+            guidance_ctx=guidance_ctx, cm_fn=cm_fn)
         if cfg.rect_head and not cfg.not_use_rect:
             if cfg.multi_cands is not None:
                 nn_controls, prev_scores = diffusion.select_multi_cands(

@@ -318,3 +318,76 @@ class Net(nn.Module):
                  jnp.clip(out[..., 1], -cfg.mul_a_max, cfg.mul_a_max)],
                 axis=-1)
         return out
+
+
+# ----------------------------------------------------------------------
+def make_cm_eps_fn(params, batch: Dict[str, Array], highlevel: Array,
+                   feature: Array, cfg: Config,
+                   n_randoms: Optional[int] = None):
+    """Candidate-minor epsilon predictor for the DDPM reverse scan.
+
+    The diffusion forward (``Net.__call__``, multi-candidate path; ref
+    nusc_model.py:97-162) is pin = concat([feature, noise, time_emb,
+    highlevel, stlp]) -> Dense/ReLU stack -> raw + noise.  Layer 1 is
+    LINEAR, so it splits by input block:
+
+    - feature / highlevel / stlp (+ init hint) are loop-invariant per
+      denoise step -> their layer-1 contribution ``base`` is computed once
+      and transposed to candidate-minor (bs, h1, R) BEFORE the scan;
+    - the timestep embedding is identical for every row -> one (h1,)
+      vector per denoise step;
+    - only the noise block depends on x -> einsum('bdr,dh->bhr') keeps the
+      candidate axis minor.
+
+    Layers 2+ run as (bs, h, R) x (h, k) batched matmuls.  The reverse
+    scan therefore needs NO per-step layout transposes (the round-3 trace
+    showed 2 small transposes x 99 denoise steps = 6.5 ms/plan-step,
+    docs/PERF.md).  Split == fused Dense up to bf16 summation order
+    (exact in fp32; equality-tested in tests/test_diffusion.py).
+
+    Returns ``eps_cm(x_cm, t_scalar) -> eps`` on (bs, nt, 2, R) arrays,
+    r = j * M + m j-major — specs.CandMinorGuidanceLoss's layout.
+    """
+    p = params["params"]["policy_net"]
+    nl = len(cfg.hiddens) + 1
+    kern = [p[f"Dense_{i}"]["kernel"] for i in range(nl)]
+    bias = [p[f"Dense_{i}"]["bias"] for i in range(nl)]
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    M = n_randoms if n_randoms is not None else cfg.n_randoms
+    D = cfg.nt * 2
+    TD = Net.TIME_DIM
+    F = feature.shape[-1]
+    bs = feature.shape[0] // (M * 3)
+    R = M * 3
+    stlp_feat = batch["stlp_dense"][:, 0]
+    W1 = kern[0]
+    o = F + D + TD                     # pin column offsets past time block
+    base = (feature.astype(dt) @ W1[:F].astype(dt)
+            + highlevel.astype(dt) @ W1[o:o + 1].astype(dt)
+            + stlp_feat.astype(dt) @ W1[o + 1:o + 1 + Net.STLP_DIM]
+            .astype(dt)
+            + bias[0].astype(dt))
+    if cfg.use_init_hint:
+        hint = batch["params_init"].reshape(-1, D)
+        base = base + hint.astype(dt) @ W1[o + 1 + Net.STLP_DIM:].astype(dt)
+    h1 = base.shape[-1]
+    # m-major rows (bs, M, 3, h1) -> candidate-minor (bs, h1, R), r=j*M+m
+    base_cm = jnp.transpose(base.reshape(bs, M, 3, h1),
+                            (0, 3, 2, 1)).reshape(bs, h1, R)
+    Wn = W1[F:F + D].astype(dt)
+    Wt = W1[F + D:o].astype(dt)
+
+    def eps_cm(x_cm: Array, t_scalar) -> Array:
+        te = pos_encoding(jnp.full((1, 1), t_scalar, jnp.float32), TD)
+        h = (base_cm + (te.astype(dt) @ Wt)[0][None, :, None]
+             + jnp.einsum("bdr,dh->bhr",
+                          x_cm.reshape(bs, D, R).astype(dt), Wn))
+        h = nn.relu(h)
+        for i in range(1, nl - 1):
+            h = nn.relu(jnp.einsum("bhr,hk->bkr", h, kern[i].astype(dt))
+                        + bias[i].astype(dt)[None, :, None])
+        raw = (jnp.einsum("bhr,hk->bkr", h, kern[-1].astype(dt))
+               + bias[-1].astype(dt)[None, :, None])
+        return raw.astype(jnp.float32).reshape(bs, cfg.nt, 2, R) + x_cm
+
+    return eps_cm

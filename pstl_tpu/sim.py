@@ -37,6 +37,7 @@ import numpy as np
 from pstl_tpu import diffusion, specs
 from pstl_tpu.config import Config
 from pstl_tpu.models import Net
+from pstl_tpu.models import net as models
 from pstl_tpu.ops import dynamics as dyn
 from pstl_tpu.ops import geometry as geom
 
@@ -303,14 +304,18 @@ def make_planner(cfg: Config, net: Net, params, formulas,
             def apply_fn(e):
                 return net.apply(params, dense, e, prev_feature=feature)
 
+            fused = (specs.make_guidance_loss(obs, dense, cfg, states,
+                                              valid)
+                     if cfg.guidance else None)
             guidance_ctx = (diffusion.make_guidance_ctx(
-                score_rows, valid, states_flat,
-                fused_loss=specs.make_guidance_loss(obs, dense, cfg, states,
-                                                    valid))
+                score_rows, valid, states_flat, fused_loss=fused)
                 if cfg.guidance else None)
+            cm_fn = (models.make_cm_eps_fn(params, dense, highlevel,
+                                           feature, cfg)
+                     if cfg.cm_sampler and fused is not None else None)
             nn_controls, all_steps = diffusion.sample(
                 k_sample, apply_fn, dense, highlevel, feature, cfg, coeffs,
-                n, guidance_ctx=guidance_ctx, maximize=True)
+                n, guidance_ctx=guidance_ctx, maximize=True, cm_fn=cm_fn)
         elif cfg.vae:
             # VAE / TrafficSim closed-loop rows (nusc_sim.py model dispatch):
             # sample the prior latent directly

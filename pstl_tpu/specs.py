@@ -422,8 +422,20 @@ class CandMinorGuidanceLoss:
         self.R = R
         bs = batch["currlane_wpts"].shape[0]
         self.bs = bs
+        # Scene-local recentering: every geometric quantity in this class
+        # (lane distance, heading deviation, disc clearance) is a function
+        # of coordinate DIFFERENCES, so shifting each scene's frame to the
+        # ego start pose is exact.  It keeps |coords| ~ O(maneuver length)
+        # instead of O(map), which is what makes cfg.geometry_dtype=
+        # bfloat16 usable for the selection fields and frozen payloads
+        # (bf16's 8-bit mantissa on raw NuScenes-scale coords would cost
+        # ~4 m; recentered it costs ~0.1 m only on stored payloads).
+        cx = states[:, 0][:, None, None]                      # (bs,1,1)
+        cy = states[:, 1][:, None, None]
         lanes = jnp.stack([batch["currlane_wpts"], batch["leftlane_wpts"],
                            batch["rightlane_wpts"]], axis=1)  # (bs, 3, S, 3)
+        lanes = lanes.at[..., 0].add(-states[:, 0][:, None, None])
+        lanes = lanes.at[..., 1].add(-states[:, 1][:, None, None])
         lane_r = jnp.moveaxis(jnp.repeat(lanes, M, axis=1), 1, -1)
         self.lxr = lane_r[:, :, 0]                            # (bs, S, R)
         self.lyr = lane_r[:, :, 1]
@@ -431,7 +443,8 @@ class CandMinorGuidanceLoss:
 
         nei = batch["neighbor_trajs_aug"]                     # (bs, K, T, 7)
         self.nvalid = nei[..., 0]
-        nx0, ny0, nth = nei[..., 1], nei[..., 2], nei[..., 3]
+        nx0, ny0, nth = (nei[..., 1] - cx, nei[..., 2] - cy,
+                         nei[..., 3])
         Ln, Wn = nei[..., 5], nei[..., 6]
         self.rn = Wn / 2.0
         alpha = jnp.linspace(0.0, 1.0, cfg.refined_nL)
@@ -455,12 +468,28 @@ class CandMinorGuidanceLoss:
             self.vf = self.df = self.sf = 1.0
         self.valid_r = valid.reshape(bs, M, 3).transpose(0, 2, 1
                                                          ).reshape(bs, R)
-        self.x0 = states[:, 0][:, None, None]
-        self.y0 = states[:, 1][:, None, None]
+        # recentered frame: the rollout starts at the origin
+        self.x0 = jnp.zeros_like(cx)
+        self.y0 = jnp.zeros_like(cy)
         self.th0 = states[:, 2][:, None, None]
         self.v0 = states[:, 3][:, None, None]
         self.dtype = jnp.bfloat16 if cfg.robustness_dtype == "bfloat16" \
             else jnp.float32
+        # geometry dtype: the (bs,T,S,R) / (bs,K,T,nLe,nLn,R) SELECTION
+        # fields and the frozen per-(t,row) payloads — bandwidth, not
+        # arithmetic (the Adam-iteration math stays fp32 either way)
+        self.gdtype = jnp.bfloat16 if cfg.geometry_dtype == "bfloat16" \
+            else jnp.float32
+        self.lxr_g = self.lxr.astype(self.gdtype)
+        self.lyr_g = self.lyr.astype(self.gdtype)
+        # all 5 lane endpoint payloads ride ONE one-hot einsum pass
+        # (docs/PERF.md #8); stored in geometry dtype
+        self.lane_payload_g = jnp.stack(
+            [self.lxr[:, :-1], self.lyr[:, :-1], self.lthr[:, :-1],
+             self.lxr[:, 1:], self.lyr[:, 1:]],
+            axis=1).astype(self.gdtype)                       # (bs,5,S-1,R)
+        self.nx_g = self.nx.astype(self.gdtype)
+        self.ny_g = self.ny.astype(self.gdtype)
 
     def _alw(self, g, tau, axis=1):
         g = g.astype(self.dtype)
@@ -497,20 +526,23 @@ class CandMinorGuidanceLoss:
         """Nearest-segment search + endpoint gather (the (bs,T,S,R) hot
         part of the lane terms).  Returns per-(t,row) segment constants."""
         S = self.lxr.shape[1]
-        pdx = x_s[:, :, None, :] - self.lxr[:, None]          # (bs,T,S,R)
-        pdy = y_s[:, :, None, :] - self.lyr[:, None]
+        gd = self.gdtype
+        xg, yg = x_s.astype(gd), y_s.astype(gd)
+        pdx = xg[:, :, None, :] - self.lxr_g[:, None]         # (bs,T,S,R)
+        pdy = yg[:, :, None, :] - self.lyr_g[:, None]
         pd = jnp.sqrt(pdx * pdx + pdy * pdy)
         segc = pd[:, :, :-1] + pd[:, :, 1:]
         mi = jnp.argmin(segc, axis=2)                         # (bs,T,R)
         sel = jax.lax.stop_gradient(
             (jnp.arange(S - 1)[None, None, :, None]
-             == mi[:, :, None, :]).astype(jnp.float32))
+             == mi[:, :, None, :]).astype(gd))
         # all 5 endpoint payloads in ONE pass over the (bs,T,S-1,R)
-        # one-hot instead of five (the one-hot dominates the bandwidth)
-        payload = jnp.stack([self.lxr[:, :-1], self.lyr[:, :-1],
-                             self.lthr[:, :-1], self.lxr[:, 1:],
-                             self.lyr[:, 1:]], axis=1)        # (bs,5,S-1,R)
-        x2, y2, th2, x3, y3 = jnp.einsum("btsr,bcsr->cbtr", sel, payload)
+        # one-hot instead of five (the one-hot dominates the bandwidth);
+        # fp32 accumulation keeps the gathered values exact up to the
+        # stored payload dtype
+        x2, y2, th2, x3, y3 = jnp.einsum(
+            "btsr,bcsr->cbtr", sel, self.lane_payload_g,
+            preferred_element_type=jnp.float32).astype(gd)
         return dict(x2=x2, y2=y2, th2=th2, x3=x3, y3=y3,
                     first=(mi == 0), last=(mi == S - 2))
 
@@ -518,7 +550,9 @@ class CandMinorGuidanceLoss:
         """Signed lane distance + heading deviation from frozen-or-fresh
         segment constants — (bs,T,R) elementwise only."""
         cfg = self.cfg
-        x2, y2, x3, y3 = lsel["x2"], lsel["y2"], lsel["x3"], lsel["y3"]
+        f32 = jnp.float32
+        x2, y2 = lsel["x2"].astype(f32), lsel["y2"].astype(f32)
+        x3, y3 = lsel["x3"].astype(f32), lsel["y3"].astype(f32)
         area = x_s * (y2 - y3) + x2 * (y3 - y_s) + x3 * (y_s - y2)
         bottom = jnp.sqrt((x2 - x3) ** 2 + (y2 - y3) ** 2)
         l2d = jnp.sqrt(jnp.clip((x_s - x2) ** 2 + (y_s - y2) ** 2, 1e-3))
@@ -539,7 +573,7 @@ class CandMinorGuidanceLoss:
                      + ahead_all * l2d1 * sign)
         if cfg.clip_dist:
             d_all = jnp.clip(d_all, -5.0, 5.0)
-        th_all = 1.0 - jnp.cos(lsel["th2"] - th_s)
+        th_all = 1.0 - jnp.cos(lsel["th2"].astype(f32) - th_s)
         return d_all, th_all
 
     def _clear_select(self, x_s, y_s, cth, sth):
@@ -547,12 +581,16 @@ class CandMinorGuidanceLoss:
         (bs,K,T,nLe,nLn,R) hot part of the clearance.  Gathers the selected
         ego-disc offset and neighbor-disc center via one-hot einsum (no
         TPU gathers)."""
-        exd = (x_s[:, :, None, :]
-               + self.axe[None, None, :, None] * cth[:, :, None, :])
-        eyd = (y_s[:, :, None, :]
-               + self.axe[None, None, :, None] * sth[:, :, None, :])
-        dxp = exd[:, None, :, :, None, :] - self.nx[:, :, :, None, :, None]
-        dyp = eyd[:, None, :, :, None, :] - self.ny[:, :, :, None, :, None]
+        gd = self.gdtype
+        xg, yg = x_s.astype(gd), y_s.astype(gd)
+        cg, sg = cth.astype(gd), sth.astype(gd)
+        axg = self.axe.astype(gd)
+        exd = (xg[:, :, None, :]
+               + axg[None, None, :, None] * cg[:, :, None, :])
+        eyd = (yg[:, :, None, :]
+               + axg[None, None, :, None] * sg[:, :, None, :])
+        dxp = exd[:, None, :, :, None, :] - self.nx_g[:, :, :, None, :, None]
+        dyp = eyd[:, None, :, :, None, :] - self.ny_g[:, :, :, None, :, None]
         d2p = dxp * dxp + dyp * dyp           # (bs,K,T,nLe,nLn,R)
         bs, K, T, nLe, nLn, R = d2p.shape
         P = nLe * nLn
@@ -564,12 +602,16 @@ class CandMinorGuidanceLoss:
         ie = jax.lax.stop_gradient(pi // nLn)
         inn = jax.lax.stop_gradient(pi % nLn)
         sele = (jnp.arange(nLe)[None, None, None, :, None]
-                == ie[:, :, :, None, :]).astype(jnp.float32)  # (bs,K,T,e,R)
+                == ie[:, :, :, None, :]).astype(gd)           # (bs,K,T,e,R)
         seln = (jnp.arange(nLn)[None, None, None, :, None]
-                == inn[:, :, :, None, :]).astype(jnp.float32)
-        axe_sel = jnp.einsum("bkter,e->bktr", sele, self.axe)
-        nxy = jnp.stack([self.nx, self.ny], axis=-2)          # (bs,K,T,2,nLn)
-        nx_sel, ny_sel = jnp.einsum("bktnr,bktcn->cbktr", seln, nxy)
+                == inn[:, :, :, None, :]).astype(gd)
+        axe_sel = jnp.einsum("bkter,e->bktr", sele, axg,
+                             preferred_element_type=jnp.float32).astype(gd)
+        nxy = jnp.stack([self.nx_g, self.ny_g],
+                        axis=-2)                              # (bs,K,T,2,nLn)
+        nx_sel, ny_sel = jnp.einsum(
+            "bktnr,bktcn->cbktr", seln, nxy,
+            preferred_element_type=jnp.float32).astype(gd)
         return dict(axe=axe_sel, nx=nx_sel, ny=ny_sel)
 
     def _clear_mnd(self, x_s, y_s, cth, sth, csel):
@@ -587,9 +629,12 @@ class CandMinorGuidanceLoss:
             d2 = jnp.min(dxp * dxp + dyp * dyp, axis=(3, 4))  # (bs,K,T,R)
         else:
             # frozen pair: (bs,K,T,R) elementwise only
-            exd = x_s[:, None] + csel["axe"] * cth[:, None]
-            eyd = y_s[:, None] + csel["axe"] * sth[:, None]
-            d2 = ((exd - csel["nx"]) ** 2 + (eyd - csel["ny"]) ** 2)
+            f32 = jnp.float32
+            axe_f = csel["axe"].astype(f32)
+            exd = x_s[:, None] + axe_f * cth[:, None]
+            eyd = y_s[:, None] + axe_f * sth[:, None]
+            d2 = ((exd - csel["nx"].astype(f32)) ** 2
+                  + (eyd - csel["ny"].astype(f32)) ** 2)
         per = jnp.sqrt(d2 + 1e-12) - self.re - self.rn[..., None]
         vk = self.nvalid[..., None]
         masked = jnp.clip(per, -5.0, 20.0) * vk + (1.0 - vk) * 100.0
@@ -680,9 +725,9 @@ class CandMinorGuidanceLoss:
         first guided step always refreshes, so the zeros are never read)."""
         bs, T, R = self.bs, self.cfg.nt, self.R
         K = self.nx.shape[1]
-        f = lambda: jnp.zeros((bs, T, R), jnp.float32)
+        f = lambda: jnp.zeros((bs, T, R), self.gdtype)
         b = lambda: jnp.zeros((bs, T, R), bool)
-        fk = lambda: jnp.zeros((bs, K, T, R), jnp.float32)
+        fk = lambda: jnp.zeros((bs, K, T, R), self.gdtype)
         return dict(lane=dict(x2=f(), y2=f(), th2=f(), x3=f(), y3=f(),
                               first=b(), last=b()),
                     clear=dict(axe=fk(), nx=fk(), ny=fk()))

@@ -278,3 +278,82 @@ def test_guidance_positive_offset_quirk_parity():
     # rows with sign=-1 get negative ones on the same coordinates
     a_cols = d2.reshape(n, T, 2)[..., 1]
     assert (a_cols[0] >= -1e-9).all() and (a_cols[1] <= 1e-9).all()
+
+
+def test_cm_sampler_layout_parity(monkeypatch):
+    """cfg.cm_sampler: (a) models.make_cm_eps_fn equals the flax diffusion
+    forward on matched inputs (the linear layer-1 split is exact in fp32);
+    (b) the full candidate-minor reverse scan equals the row-major scan
+    when the noise stream is pinned to a layout-independent draw; (c) the
+    guidance_sel_every carry plumbing also matches."""
+    from pstl_tpu.models import net as models_net
+
+    cfg = small_cfg(guidance=True, guidance_niters=2, guidance_lr=0.05,
+                    guidance_reuse_selection=True)
+    bs = 2
+    batch = make_batch(cfg, bs=bs)
+    batch["neighbors"] = batch["neighbor_trajs_aug"][:, :, 0, :]
+    batch["neighbors_traj"] = batch["neighbor_trajs_aug"]
+    stlp = specs.calibrate_stlp(batch, batch["ego_traj"][..., :4], cfg)
+    dense = specs.densify_batch(batch, stlp, cfg, key=jax.random.PRNGKey(0))
+    n = bs * cfg.n_randoms * 3
+    net = Net(cfg)
+    hl = dense["highlevel_dense"]
+    ext0 = {"timestep": jnp.ones((n, 1)), "highlevel": hl,
+            "noise": jnp.zeros((n, cfg.nt * 2))}
+    params = net.init(jax.random.PRNGKey(1), dense, ext0)
+    _, feature = net.apply(params, dense, ext0, get_feature=True)
+
+    def apply_fn(ext):
+        return net.apply(params, dense, ext, prev_feature=feature)
+
+    states = batch["ego_traj"][:, 0, :4]
+    states_flat = jnp.broadcast_to(states[:, None, None],
+                                   (bs, cfg.n_randoms, 3, 4)).reshape(n, 4)
+    valid = dense["valids_dense"].reshape(-1)
+    score_rows = specs.make_score_rows(batch, dense, cfg)
+    fl = specs.make_guidance_loss(batch, dense, cfg, states, valid)
+    ctx = diffusion.make_guidance_ctx(score_rows, valid, states_flat, fl)
+    coeffs = diffusion.get_coeffs(cfg)
+    cm_fn = models_net.make_cm_eps_fn(params, dense, hl, feature, cfg)
+
+    # (a) one epsilon prediction, both layouts
+    x = jax.random.normal(jax.random.PRNGKey(3), (n, cfg.nt * 2))
+    ext = {"timestep": jnp.full((n, 1), 5.0), "highlevel": hl, "noise": x,
+           "stlp": dense["stlp_dense"]}
+    eps_ref = np.asarray(apply_fn(ext)).reshape(n, cfg.nt * 2)
+    eps_cm = fl._from_cand_minor(cm_fn(fl._to_cand_minor(x),
+                                       jnp.float32(5.0)))
+    np.testing.assert_allclose(np.asarray(eps_cm), eps_ref,
+                               rtol=2e-4, atol=2e-4)
+
+    # (b) full reverse scan, pinned layout-independent noise stream
+    def pinned_normal(key, shape, dtype=jnp.float32):
+        if len(shape) == 4:     # cm request (bs, nt, 2, R)
+            return fl._to_cand_minor(
+                jax.random.normal(key, (n, cfg.nt * 2), dtype))
+        return jax.random.normal(key, shape, dtype)
+
+    monkeypatch.setattr(diffusion, "_normal", pinned_normal)
+    key = jax.random.PRNGKey(11)
+    c_mm, steps_mm = diffusion.reverse_sample(
+        key, apply_fn, dense, hl, feature, cfg, coeffs, n,
+        guidance_ctx=ctx, maximize=True)
+    c_cm, steps_cm = diffusion.reverse_sample(
+        key, apply_fn, dense, hl, feature, cfg, coeffs, n,
+        guidance_ctx=ctx, maximize=True, cm_fn=cm_fn)
+    np.testing.assert_allclose(np.asarray(c_cm), np.asarray(c_mm),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(steps_cm), np.asarray(steps_mm),
+                               rtol=1e-4, atol=1e-4)
+
+    # (c) sel_every carry path
+    cfg2 = cfg.with_(guidance_sel_every=2)
+    c2_mm, _ = diffusion.reverse_sample(
+        key, apply_fn, dense, hl, feature, cfg2, coeffs, n,
+        guidance_ctx=ctx, maximize=True)
+    c2_cm, _ = diffusion.reverse_sample(
+        key, apply_fn, dense, hl, feature, cfg2, coeffs, n,
+        guidance_ctx=ctx, maximize=True, cm_fn=cm_fn)
+    np.testing.assert_allclose(np.asarray(c2_cm), np.asarray(c2_mm),
+                               rtol=1e-4, atol=1e-4)

@@ -340,6 +340,76 @@ class TestTiledScorer:
                                    np.asarray(out_plain),
                                    rtol=1e-6, atol=1e-7)
 
+    def test_geometry_recentering_invariance(self):
+        """The guidance loss depends only on coordinate DIFFERENCES, so
+        shifting a scene's lanes + neighbors + ego start by a large map-
+        scale offset must not change it.  CandMinorGuidanceLoss recenters
+        every scene at its ego start — the property that makes
+        cfg.geometry_dtype=bfloat16 usable on NuScenes-scale coords."""
+        cfg, batch, dense, _ = self._setup(True, seed=13)
+        bs, M = 3, cfg.n_randoms
+        N = bs * M * 3
+        rng = np.random.RandomState(7)
+        states = jnp.asarray(rng.randn(bs, 4).astype(np.float32))
+        states = states.at[:, 3].set(jnp.abs(states[:, 3]) * 3)
+        valid = dense["valids_dense"].reshape(-1)
+        mu = jnp.asarray(rng.randn(N, cfg.nt * 2).astype(np.float32))
+        fused = specs.make_guidance_loss(batch, dense, cfg, states, valid)
+        l0 = float(jax.jit(lambda m: fused(m, 100.0))(mu))
+
+        ox, oy = 1713.0, -2504.0   # NuScenes map-frame magnitudes
+        b2 = dict(batch)
+        for key in ("currlane_wpts", "leftlane_wpts", "rightlane_wpts"):
+            b2[key] = batch[key].at[..., 0].add(ox).at[..., 1].add(oy)
+        b2["neighbor_trajs_aug"] = batch["neighbor_trajs_aug"].at[
+            ..., 1].add(ox).at[..., 2].add(oy)
+        s2 = states.at[:, 0].add(ox).at[:, 1].add(oy)
+        fused2 = specs.make_guidance_loss(b2, dense, cfg, s2, valid)
+        l1 = float(jax.jit(lambda m: fused2(m, 100.0))(mu))
+        np.testing.assert_allclose(l1, l0, rtol=1e-3)
+
+    def test_geometry_dtype_bf16(self):
+        """cfg.geometry_dtype=bfloat16 stores the selection fields and
+        frozen payloads in bf16 (the guidance loop's HBM traffic); the
+        Adam-iteration arithmetic stays fp32, so loss and gradient track
+        the fp32 path closely, and the frozen pytree dtypes match
+        freeze_zeros (the sel_every scan-carry contract)."""
+        cfg, batch, dense, _ = self._setup(True, seed=21)
+        bs, M = 3, cfg.n_randoms
+        N = bs * M * 3
+        rng = np.random.RandomState(5)
+        states = jnp.asarray(rng.randn(bs, 4).astype(np.float32))
+        states = states.at[:, 3].set(jnp.abs(states[:, 3]) * 3)
+        valid = dense["valids_dense"].reshape(-1)
+        mu = jnp.asarray(rng.randn(N, cfg.nt * 2).astype(np.float32))
+        f32 = specs.make_guidance_loss(batch, dense, cfg, states, valid)
+        f16 = specs.make_guidance_loss(
+            batch, dense, cfg.with_(geometry_dtype="bfloat16"),
+            states, valid)
+
+        l32 = float(jax.jit(lambda m: f32(m, 100.0))(mu))
+        l16 = float(jax.jit(lambda m: f16(m, 100.0))(mu))
+        assert abs(l16 - l32) < 0.05 * max(abs(l32), 1.0), (l16, l32)
+
+        g32 = np.asarray(jax.jit(jax.grad(
+            lambda m: f32(m, 100.0)))(mu)).ravel()
+        g16 = np.asarray(jax.jit(jax.grad(
+            lambda m: f16(m, 100.0)))(mu)).ravel()
+        cos = float(g32 @ g16
+                    / max(np.linalg.norm(g32) * np.linalg.norm(g16), 1e-12))
+        assert cos > 0.95, cos
+
+        frozen = jax.jit(f16.freeze)(mu)
+        zeros = f16.freeze_zeros()
+        fl, zl = jax.tree_util.tree_leaves(frozen), \
+            jax.tree_util.tree_leaves(zeros)
+        assert [(a.shape, a.dtype) for a in fl] \
+            == [(a.shape, a.dtype) for a in zl]
+        assert frozen["lane"]["x2"].dtype == jnp.bfloat16
+        l16f = float(jax.jit(
+            lambda m: f16(m, 100.0, frozen=frozen))(mu))
+        assert abs(l16f - l16) < 0.05 * max(abs(l16), 1.0), (l16f, l16)
+
     def test_gradient_matches(self):
         cfg, batch, dense, trajs = self._setup(True, seed=4)
         scorer = specs.TiledScorer(batch, dense["stlp_dense"], cfg)
