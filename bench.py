@@ -59,6 +59,11 @@ def main():
         cfg = cfg.with_(geometry_dtype=os.environ["BENCH_GEOM_DTYPE"])
     if os.environ.get("BENCH_ROB_DTYPE"):
         cfg = cfg.with_(robustness_dtype=os.environ["BENCH_ROB_DTYPE"])
+    if os.environ.get("BENCH_NO_CM"):
+        cfg = cfg.with_(cm_sampler=False)
+    if os.environ.get("BENCH_SCAN_UNROLL"):
+        cfg = cfg.with_(
+            diffusion_scan_unroll=int(os.environ["BENCH_SCAN_UNROLL"]))
     mode = os.environ.get("BENCH_MODE", "heavy")
     if mode == "parity":
         # the EXACT guidance schedule behind the reference's published

@@ -198,6 +198,9 @@ class Config:
     # realizations differ (same distribution; layout-parity is tested
     # with a pinned noise stream in tests/test_diffusion.py)
     cm_sampler: bool = True
+    # lax.scan unroll factor for the DDPM reverse scan: >1 trades compile
+    # time + program size for cross-step fusion/prefetch overlap
+    diffusion_scan_unroll: int = 1
     # TiledScorer fast path for the canonical dense layout (exact same
     # scores; per-row formula selection + per-scene constants); False falls
     # back to ClauseBank over pre-tiled signals

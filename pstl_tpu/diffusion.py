@@ -217,9 +217,20 @@ def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
             delta = jnp.clip(mu_opt - mu_init, -beta_t, beta_t)
         return (mu_init + delta, m, v)
 
-    mu_opt, _, _ = jax.lax.fori_loop(
-        0, cfg.guidance_niters, body,
-        (mu_init, jnp.zeros_like(mu_init), jnp.zeros_like(mu_init)))
+    carry = (mu_init, jnp.zeros_like(mu_init), jnp.zeros_like(mu_init))
+    if cfg.guidance_niters <= 8:
+        # unroll the Adam iterations: niters is tiny and static, and a
+        # lax.fori_loop lowers to a while-loop whose per-iteration entry
+        # barrier defeats XLA's cross-iteration fusion/prefetch
+        # scheduling (the round-3 trace showed per-iteration copy-start
+        # stalls, docs/PERF.md).  Same ops in the same order — identical
+        # numerics, straight-line HLO.
+        for it in range(cfg.guidance_niters):
+            carry = body(it, carry)
+        mu_opt = carry[0]
+    else:
+        mu_opt, _, _ = jax.lax.fori_loop(0, cfg.guidance_niters, body,
+                                         carry)
     return jax.lax.stop_gradient(post(mu_opt))
 
 
@@ -322,7 +333,8 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
     ts = jnp.arange(T - 1, 0, -1)
     xs_in = (ts, trig, refresh) if carry_sel else (ts, trig)
     init_carry = (x0, k_loop, frozen0) if carry_sel else (x0, k_loop)
-    final_carry, xs_hist = jax.lax.scan(step, init_carry, xs_in)
+    final_carry, xs_hist = jax.lax.scan(step, init_carry, xs_in,
+                                        unroll=cfg.diffusion_scan_unroll)
     x_last = final_carry[0]
     conv = fused_loss._from_cand_minor if use_cm else (lambda v: v)
     if not cfg.diff_full:

@@ -1,0 +1,24 @@
+#!/bin/bash
+# Round-3b perf A/B matrix: candidate-minor sampler, bf16 geometry /
+# robustness dtypes, Adam-loop unroll (always on), scan unroll.
+# One TPU process at a time; each row is a fresh process.
+# Usage: scripts/perf_ab_r3b.sh [out.jsonl]
+set -u
+OUT=${1:-/tmp/perf_ab_r3b.jsonl}
+cd "$(dirname "$0")/.."
+run() {
+  local label="$1"; shift
+  echo "=== $label ($*)" >&2
+  local line
+  line=$(env "$@" timeout 2400 python bench.py 2>>/tmp/perf_ab_r3b.err)
+  echo "{\"label\": \"$label\", \"bench\": $line}" >> "$OUT"
+  echo "$line" >&2
+}
+: > "$OUT"
+run base_cm           BENCH_DUMMY=1
+run no_cm             BENCH_NO_CM=1
+run geom_bf16         BENCH_GEOM_DTYPE=bfloat16
+run rob_bf16          BENCH_ROB_DTYPE=bfloat16
+run both_bf16         BENCH_GEOM_DTYPE=bfloat16 BENCH_ROB_DTYPE=bfloat16
+run both_bf16_unroll3 BENCH_GEOM_DTYPE=bfloat16 BENCH_ROB_DTYPE=bfloat16 BENCH_SCAN_UNROLL=3
+cat "$OUT"
