@@ -61,6 +61,8 @@ def main():
         cfg = cfg.with_(robustness_dtype=os.environ["BENCH_ROB_DTYPE"])
     if os.environ.get("BENCH_NO_CM"):
         cfg = cfg.with_(cm_sampler=False)
+    if os.environ.get("BENCH_COARSE_PAIR"):
+        cfg = cfg.with_(clearance_coarse_pair=True)
     if os.environ.get("BENCH_SCAN_UNROLL"):
         cfg = cfg.with_(
             diffusion_scan_unroll=int(os.environ["BENCH_SCAN_UNROLL"]))

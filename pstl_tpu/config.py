@@ -201,6 +201,11 @@ class Config:
     # lax.scan unroll factor for the DDPM reverse scan: >1 trades compile
     # time + program size for cross-step fusion/prefetch overlap
     diffusion_scan_unroll: int = 1
+    # coarse-to-fine frozen-pair selection in the guidance clearance
+    # freeze: nearest ego disc to the neighbor center, then nearest
+    # neighbor disc to it — 2*nL instead of nL^2 pair distances.  Opt-in
+    # approximation (perturbs only WHICH near-minimal pair is frozen)
+    clearance_coarse_pair: bool = False
     # TiledScorer fast path for the canonical dense layout (exact same
     # scores; per-row formula selection + per-scene constants); False falls
     # back to ClauseBank over pre-tiled signals

@@ -589,18 +589,49 @@ class CandMinorGuidanceLoss:
                + axg[None, None, :, None] * cg[:, :, None, :])
         eyd = (yg[:, :, None, :]
                + axg[None, None, :, None] * sg[:, :, None, :])
-        dxp = exd[:, None, :, :, None, :] - self.nx_g[:, :, :, None, :, None]
-        dyp = eyd[:, None, :, :, None, :] - self.ny_g[:, :, :, None, :, None]
-        d2p = dxp * dxp + dyp * dyp           # (bs,K,T,nLe,nLn,R)
-        bs, K, T, nLe, nLn, R = d2p.shape
-        P = nLe * nLn
-        d2f = d2p.reshape(bs, K, T, P, R)
-        pi = jnp.argmin(d2f, axis=3)                          # (bs,K,T,R)
-        # decompose the flat pair argmin into (ego-disc, neighbor-disc)
-        # indices: two nL-wide one-hots instead of one P-wide (4x smaller
-        # selection tensors, no (bs,K,T,P,2) payload tile)
-        ie = jax.lax.stop_gradient(pi // nLn)
-        inn = jax.lax.stop_gradient(pi % nLn)
+        nLe = self.axe.shape[0]
+        nLn = self.nx.shape[-1]
+        bs, T, R = x_s.shape[0], x_s.shape[1], x_s.shape[2]
+        K = self.nx.shape[1]
+        if self.cfg.clearance_coarse_pair:
+            # coarse-to-fine: nearest ego disc to the NEIGHBOR CENTER
+            # first (nLe distances), then nearest neighbor disc to that
+            # ego disc (nLn distances) — 2*nL instead of nL^2 pair
+            # distances.  Can differ from the exact pair argmin when the
+            # neighbor straddles the ego; the frozen-selection path is
+            # already trust-region-stale, so this only perturbs WHICH
+            # near-minimal pair is frozen (opt-in, measured before use).
+            ncx = jnp.mean(self.nx_g, axis=-1)                # (bs,K,T)
+            ncy = jnp.mean(self.ny_g, axis=-1)
+            de = ((exd[:, None] - ncx[..., None, None]) ** 2
+                  + (eyd[:, None] - ncy[..., None, None]) ** 2)
+            ie = jax.lax.stop_gradient(
+                jnp.argmin(de, axis=3))                       # (bs,K,T,R)
+            sel_e = (jnp.arange(nLe)[None, None, None, :, None]
+                     == ie[:, :, :, None, :]).astype(gd)
+            ex_sel = jnp.einsum("bkter,bter->bktr", sel_e,
+                                exd, preferred_element_type=jnp.float32
+                                ).astype(gd)
+            ey_sel = jnp.einsum("bkter,bter->bktr", sel_e,
+                                eyd, preferred_element_type=jnp.float32
+                                ).astype(gd)
+            dn = ((ex_sel[..., None, :] - self.nx_g[..., None]) ** 2
+                  + (ey_sel[..., None, :] - self.ny_g[..., None]) ** 2)
+            inn = jax.lax.stop_gradient(jnp.argmin(dn, axis=3))
+        else:
+            dxp = (exd[:, None, :, :, None, :]
+                   - self.nx_g[:, :, :, None, :, None])
+            dyp = (eyd[:, None, :, :, None, :]
+                   - self.ny_g[:, :, :, None, :, None])
+            d2p = dxp * dxp + dyp * dyp       # (bs,K,T,nLe,nLn,R)
+            P = nLe * nLn
+            d2f = d2p.reshape(bs, K, T, P, R)
+            pi = jnp.argmin(d2f, axis=3)                      # (bs,K,T,R)
+            # decompose the flat pair argmin into (ego-disc,
+            # neighbor-disc) indices: two nL-wide one-hots instead of one
+            # P-wide (4x smaller selection tensors, no payload tile)
+            ie = jax.lax.stop_gradient(pi // nLn)
+            inn = jax.lax.stop_gradient(pi % nLn)
         sele = (jnp.arange(nLe)[None, None, None, :, None]
                 == ie[:, :, :, None, :]).astype(gd)           # (bs,K,T,e,R)
         seln = (jnp.arange(nLn)[None, None, None, :, None]

@@ -21,8 +21,17 @@ cfg = Config(diffusion=True, rect_head=True, diverse_loss=True,
              multi_cands=10, guidance=True, guidance_niters=3,
              n_rolls=3, n_randoms=64, n_neighbors=8,
              flex=True).finalize().with_(epochs=1, test=True)
-if os.environ.get("P_REUSE_SEL"):
+if not os.environ.get("P_EXACT_SEL"):    # mirror bench.py's default
     cfg = cfg.with_(guidance_reuse_selection=True)
+if os.environ.get("BENCH_GEOM_DTYPE"):
+    cfg = cfg.with_(geometry_dtype=os.environ["BENCH_GEOM_DTYPE"])
+if os.environ.get("BENCH_ROB_DTYPE"):
+    cfg = cfg.with_(robustness_dtype=os.environ["BENCH_ROB_DTYPE"])
+if os.environ.get("BENCH_NO_CM"):
+    cfg = cfg.with_(cm_sampler=False)
+if os.environ.get("BENCH_SCAN_UNROLL"):
+    cfg = cfg.with_(
+        diffusion_scan_unroll=int(os.environ["BENCH_SCAN_UNROLL"]))
 bs = int(os.environ.get("BENCH_SCENES", "16"))
 data = synthetic.generate_dataset(0, bs, cfg, scene_len=38)
 scenes = sim.scenes_from_dataset(data)

@@ -410,6 +410,33 @@ class TestTiledScorer:
             lambda m: f16(m, 100.0, frozen=frozen))(mu))
         assert abs(l16f - l16) < 0.05 * max(abs(l16), 1.0), (l16f, l16)
 
+    def test_clearance_coarse_pair(self):
+        """cfg.clearance_coarse_pair: the two-stage frozen-pair selection
+        agrees with the exact pair argmin on almost all rows, and the
+        frozen-selection loss stays within a few percent (the selection
+        only decides WHICH near-minimal disc pair is frozen)."""
+        cfg, batch, dense, _ = self._setup(True, seed=33)
+        bs, M = 3, cfg.n_randoms
+        N = bs * M * 3
+        rng = np.random.RandomState(3)
+        states = jnp.asarray(rng.randn(bs, 4).astype(np.float32))
+        states = states.at[:, 3].set(jnp.abs(states[:, 3]) * 3)
+        valid = dense["valids_dense"].reshape(-1)
+        mu = jnp.asarray(rng.randn(N, cfg.nt * 2).astype(np.float32))
+        fe = specs.make_guidance_loss(batch, dense, cfg, states, valid)
+        fc = specs.make_guidance_loss(
+            batch, dense, cfg.with_(clearance_coarse_pair=True),
+            states, valid)
+        froz_e = jax.jit(fe.freeze)(mu)
+        froz_c = jax.jit(fc.freeze)(mu)
+        # frozen neighbor-disc coords agree on the vast majority of rows
+        same = float(jnp.mean((jnp.abs(froz_e["clear"]["nx"]
+                                       - froz_c["clear"]["nx"]) < 1e-5)))
+        assert same > 0.85, same
+        l_e = float(jax.jit(lambda m: fe(m, 100.0, frozen=froz_e))(mu))
+        l_c = float(jax.jit(lambda m: fc(m, 100.0, frozen=froz_c))(mu))
+        assert abs(l_c - l_e) < 0.05 * max(abs(l_e), 1.0), (l_c, l_e)
+
     def test_gradient_matches(self):
         cfg, batch, dense, trajs = self._setup(True, seed=4)
         scorer = specs.TiledScorer(batch, dense["stlp_dense"], cfg)
