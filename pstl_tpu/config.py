@@ -206,6 +206,10 @@ class Config:
     # neighbor disc to it — 2*nL instead of nL^2 pair distances.  Opt-in
     # approximation (perturbs only WHICH near-minimal pair is frozen)
     clearance_coarse_pair: bool = False
+    # cm-sampler dot form: broadcast the layer weights over the scene
+    # batch so the dot_general's canonical output order IS (bs, k, R) —
+    # removes the per-layer stablehlo.transpose the plain einsum lowers to
+    cm_broadcast_dots: bool = True
     # TiledScorer fast path for the canonical dense layout (exact same
     # scores; per-row formula selection + per-scene constants); False falls
     # back to ClauseBank over pre-tiled signals

@@ -377,16 +377,27 @@ def make_cm_eps_fn(params, batch: Dict[str, Array], highlevel: Array,
     Wn = W1[F:F + D].astype(dt)
     Wt = W1[F + D:o].astype(dt)
 
+    def mm(h, W):
+        """(bs, d, R) x (d, k) -> (bs, k, R).  The plain einsum lowers to
+        dot_general -> (k, bs, R) plus a per-layer stablehlo.transpose;
+        the broadcast-batch form puts bs in BOTH operands so the dot's
+        canonical (batch, lhs_free, rhs_free) output IS (bs, k, R) —
+        zero transposes in the lowered module (the broadcast weight read
+        is ~the same bytes as the transpose it replaces)."""
+        if cfg.cm_broadcast_dots:
+            Wb = jnp.broadcast_to(W.T[None], (bs, W.shape[1], W.shape[0]))
+            return jnp.einsum("bkh,bhr->bkr", Wb, h)
+        return jnp.einsum("bhr,hk->bkr", h, W)
+
     def eps_cm(x_cm: Array, t_scalar) -> Array:
         te = pos_encoding(jnp.full((1, 1), t_scalar, jnp.float32), TD)
         h = (base_cm + (te.astype(dt) @ Wt)[0][None, :, None]
-             + jnp.einsum("bdr,dh->bhr",
-                          x_cm.reshape(bs, D, R).astype(dt), Wn))
+             + mm(x_cm.reshape(bs, D, R).astype(dt), Wn))
         h = nn.relu(h)
         for i in range(1, nl - 1):
-            h = nn.relu(jnp.einsum("bhr,hk->bkr", h, kern[i].astype(dt))
+            h = nn.relu(mm(h, kern[i].astype(dt))
                         + bias[i].astype(dt)[None, :, None])
-        raw = (jnp.einsum("bhr,hk->bkr", h, kern[-1].astype(dt))
+        raw = (mm(h, kern[-1].astype(dt))
                + bias[-1].astype(dt)[None, :, None])
         return raw.astype(jnp.float32).reshape(bs, cfg.nt, 2, R) + x_cm
 
