@@ -268,10 +268,15 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
     # posterior mean, guidance, noise injection) runs in (bs, nt, 2, R)
     # layout — zero per-step transposes; one batched conversion at the end
     use_cm = (cm_fn is not None and fused_loss is not None and use_guidance)
+    # opt-in candidate-axis (tensor-parallel) sharding: constraining the
+    # candidate axis of the initial noise lets GSPMD shard the whole
+    # reverse scan over the mesh (parallel/mesh.py candidate_sharding)
+    from pstl_tpu.parallel import constrain_candidates
     if use_cm:
-        x0 = _normal(k_init, (fused_loss.bs, cfg.nt, 2, fused_loss.R))
+        x0 = constrain_candidates(
+            _normal(k_init, (fused_loss.bs, cfg.nt, 2, fused_loss.R)), -1)
     else:
-        x0 = _normal(k_init, (n, cfg.nt * 2))
+        x0 = constrain_candidates(_normal(k_init, (n, cfg.nt * 2)), 0)
     carry_sel = (use_guidance and cfg.guidance_reuse_selection
                  and fused_loss is not None and cfg.guidance_sel_every > 1)
     if carry_sel:
@@ -369,7 +374,8 @@ def reverse_sample_ddim(key: Array, apply_fn: Callable,
     taus_next = np.concatenate([taus[1:], [0]]).astype(np.int32)
     use_guidance = guidance_ctx is not None and cfg.guidance
     k_init, k_loop = jax.random.split(key)
-    x0 = jax.random.normal(k_init, (n, cfg.nt * 2))
+    from pstl_tpu.parallel import constrain_candidates
+    x0 = constrain_candidates(jax.random.normal(k_init, (n, cfg.nt * 2)), 0)
     if mono:
         ext_extra = {"stlp": tmp_stlp, "gt_stlp": tmp_stlp}
     else:
@@ -428,7 +434,8 @@ def reverse_sample_dpmpp(key: Array, apply_fn: Callable,
     taus = np.linspace(T - 1, 1, S).round().astype(np.int32)
     use_guidance = guidance_ctx is not None and cfg.guidance
     k_init, _ = jax.random.split(key)
-    x0 = jax.random.normal(k_init, (n, cfg.nt * 2))
+    from pstl_tpu.parallel import constrain_candidates
+    x0 = constrain_candidates(jax.random.normal(k_init, (n, cfg.nt * 2)), 0)
     if mono:
         ext_extra = {"stlp": tmp_stlp, "gt_stlp": tmp_stlp}
     else:

@@ -74,3 +74,48 @@ def shard_batch(batch: Dict[str, Array], mesh: Mesh,
 def psum_metrics(metrics: Dict[str, Array], axis: str = "data"):
     """Explicit cross-device mean for metrics inside shard_map bodies."""
     return {k: jax.lax.pmean(v, axis) for k, v in metrics.items()}
+
+
+# --- candidate-axis (tensor-parallel) sharding -------------------------
+#
+# Scene-axis DP shards the batch; for SINGLE-scene latency the parallel
+# axis is the candidate fan (n = bs*M*3 dense rows / the R axis of the
+# candidate-minor sampler layout).  The planner's math is per-candidate
+# independent until the final selection argmax, so constraining the
+# candidate axis at the sampler's noise-creation point lets GSPMD shard
+# the whole denoise+guidance scan over ICI, inserting collectives only at
+# the cross-candidate selection/diversity reductions.  Opt-in via
+# ``candidate_sharding(mesh, "cand")`` around the jitted plan step; the
+# hooks below are no-ops otherwise.
+
+_CAND_CTX: list = [None]    # (Mesh, axis_name) or None
+
+
+class candidate_sharding:
+    """Context manager enabling candidate-axis sharding constraints."""
+
+    def __init__(self, mesh: Mesh, axis: str = "cand"):
+        self._entry = (mesh, axis)
+
+    def __enter__(self):
+        self._prev = _CAND_CTX[0]
+        _CAND_CTX[0] = self._entry
+        return self
+
+    def __exit__(self, *exc):
+        _CAND_CTX[0] = self._prev
+        return False
+
+
+def constrain_candidates(x: Array, dim: int) -> Array:
+    """Constrain array axis ``dim`` to the active candidate mesh axis
+    (identity when no candidate_sharding context is active)."""
+    ctx = _CAND_CTX[0]
+    if ctx is None or x is None:
+        return x
+    mesh, axis = ctx
+    ndim = x.ndim
+    if dim < 0:
+        dim += ndim
+    spec = P(*[axis if i == dim else None for i in range(ndim)])
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

@@ -20,5 +20,10 @@ run no_cm             BENCH_NO_CM=1
 run geom_bf16         BENCH_GEOM_DTYPE=bfloat16
 run rob_bf16          BENCH_ROB_DTYPE=bfloat16
 run both_bf16         BENCH_GEOM_DTYPE=bfloat16 BENCH_ROB_DTYPE=bfloat16
+run both_bf16_coarse  BENCH_GEOM_DTYPE=bfloat16 BENCH_ROB_DTYPE=bfloat16 BENCH_COARSE_PAIR=1
 run both_bf16_unroll3 BENCH_GEOM_DTYPE=bfloat16 BENCH_ROB_DTYPE=bfloat16 BENCH_SCAN_UNROLL=3
+# sel_every>1 carries frozen selections across denoise steps (approximate;
+# compliance column in the output is the metric-neutrality check).
+run both_bf16_sel2    BENCH_GEOM_DTYPE=bfloat16 BENCH_ROB_DTYPE=bfloat16 BENCH_SEL_EVERY=2
+run both_bf16_sel4    BENCH_GEOM_DTYPE=bfloat16 BENCH_ROB_DTYPE=bfloat16 BENCH_SEL_EVERY=4
 cat "$OUT"

@@ -101,6 +101,57 @@ def test_closed_loop_sharded_matches_unsharded():
                                    atol=1e-5, err_msg=f"chunked {k}")
 
 
+def test_closed_loop_candidate_sharded_matches_unsharded():
+    """Candidate-axis (tensor-parallel) sharding: a SINGLE scene planned
+    with the candidate fan sharded over a 4-device "cand" mesh must match
+    the unsharded plan exactly (same program, GSPMD layouts only) — the
+    single-scene-latency scaling story (parallel/mesh.py
+    candidate_sharding; constraints in diffusion.reverse_sample)."""
+    from pstl_tpu import diffusion, sim, specs, train
+    from pstl_tpu.config import Config
+    from pstl_tpu.data import synthetic
+    from pstl_tpu.data.dataset import SceneDataset, batch_iterator
+    from pstl_tpu.models import Net
+    from pstl_tpu.parallel import candidate_sharding
+
+    cfg = Config(diffusion=True, rect_head=True, diverse_loss=True,
+                 multi_cands=2, n_randoms=4, n_neighbors=2, n_shards=2,
+                 diffusion_steps=5, guidance=True, guidance_niters=1,
+                 compute_dtype="float32",
+                 flex=True).finalize().with_(epochs=1, test=True)
+    data = synthetic.generate_dataset(3, 1, cfg, scene_len=26)
+    scenes = sim.scenes_from_dataset(data)
+    net = Net(cfg)
+    ds = SceneDataset({k: v for k, v in data.items()
+                       if not k.startswith("scene_")}, cfg)
+    sample = next(batch_iterator(ds, "val", 1, shuffle=False,
+                                 drop_last=False))
+    state = train.init_state(cfg, net, sample, jax.random.PRNGKey(0))
+    formulas = specs.build_scorer(cfg)
+    coeffs = diffusion.get_coeffs(cfg)
+
+    def run(ctx=None):
+        init_carry, step = sim.make_closed_loop_step(
+            scenes, cfg, net, state.params, formulas, coeffs, chunk=1)
+        c = init_carry(jax.random.PRNGKey(1))
+        if ctx is None:
+            for _ in range(2):
+                c = step(c)
+        else:
+            with ctx:
+                for _ in range(2):
+                    c = step(c)
+        return {k: np.asarray(v) for k, v in sim._carry_metrics(c).items()}
+
+    base = run()
+    # n = 1 scene * n_randoms(4) * 3 maneuvers = 12 dense rows -> 3/device
+    mesh = make_mesh((4,), ("cand",), devices=jax.devices()[:4])
+    out = run(candidate_sharding(mesh, "cand"))
+    for k in ("collide", "out_of_lane", "traj_len", "progress", "stl_acc"):
+        np.testing.assert_allclose(out[k], base[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=k)
+
+
 def test_two_process_global_batch(tmp_path):
     """Simulated 2-process DP: jax.distributed over localhost, each process
     contributing half the global batch via global_batch_from_local; a jitted
