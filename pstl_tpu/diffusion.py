@@ -274,7 +274,8 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
     from pstl_tpu.parallel import constrain_candidates
     if use_cm:
         x0 = constrain_candidates(
-            _normal(k_init, (fused_loss.bs, cfg.nt, 2, fused_loss.R)), -1)
+            _normal(k_init, (fused_loss.bs, cfg.nt, 2, fused_loss.R)), -1,
+            batch_dim=0)
     else:
         x0 = constrain_candidates(_normal(k_init, (n, cfg.nt * 2)), 0)
     carry_sel = (use_guidance and cfg.guidance_reuse_selection

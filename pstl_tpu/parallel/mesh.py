@@ -107,15 +107,30 @@ class candidate_sharding:
         return False
 
 
-def constrain_candidates(x: Array, dim: int) -> Array:
+def constrain_candidates(x: Array, dim: int, batch_dim: int = None) -> Array:
     """Constrain array axis ``dim`` to the active candidate mesh axis
-    (identity when no candidate_sharding context is active)."""
+    (identity when no candidate_sharding context is active).
+
+    On a 2-D (data x cand) mesh the scene axis must be co-sharded or GSPMD
+    reshards at every consumer: ``batch_dim`` (candidate-minor layouts,
+    where the scene axis is separate) pins that axis to "data"; when
+    ``batch_dim is None`` and the mesh has a "data" axis, ``dim`` is the
+    flat scene-major dense-row axis (bs*M*3) and is sharded over BOTH axes.
+    """
     ctx = _CAND_CTX[0]
     if ctx is None or x is None:
         return x
     mesh, axis = ctx
+    has_data = "data" in mesh.shape and axis != "data"
     ndim = x.ndim
     if dim < 0:
         dim += ndim
-    spec = P(*[axis if i == dim else None for i in range(ndim)])
+    names = [None] * ndim
+    if batch_dim is None:
+        names[dim] = ("data", axis) if has_data else axis
+    else:
+        names[dim] = axis
+        if has_data:
+            names[batch_dim % ndim] = "data"
+    spec = P(*names)
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

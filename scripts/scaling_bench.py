@@ -45,6 +45,76 @@ from pstl_tpu.parallel import data_sharding, make_mesh
 PER_DEV = int(os.environ.get("SCALE_PER_DEV", "2"))
 CHUNK = int(os.environ.get("SCALE_CHUNK", "2"))
 STEPS = int(os.environ.get("SCALE_STEPS", "4"))
+MODE = os.environ.get("SCALE_MODE", "data")  # data | cand
+
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                "collective-permute", "all-to-all")
+
+
+def count_collectives(compiled_text: str):
+    low = compiled_text.lower()
+    return {op: low.count(f" {op}") + low.count(f"%{op}")
+            for op in _COLLECTIVES}
+
+
+def main_cand():
+    """Candidate-axis (tensor-parallel) strong scaling: ONE scene, the
+    R-candidate fan sharded over n_dev devices (parallel.candidate_sharding
+    + the constrain_candidates hooks in diffusion.py).  Reports median
+    dispatch latency per device count AND the number of collective ops in
+    the compiled plan-step program — the point is that the 99-step
+    denoise+guidance scan shards cleanly with collectives only at the
+    cross-candidate selection/diversity reductions, not per-iteration."""
+    from pstl_tpu.parallel import candidate_sharding
+
+    devs = jax.devices()
+    cfg = Config(diffusion=True, rect_head=True, diverse_loss=True,
+                 multi_cands=2, n_randoms=8, n_neighbors=4, n_shards=2,
+                 diffusion_steps=8, guidance=True, guidance_niters=1,
+                 compute_dtype="float32",
+                 flex=True).finalize().with_(epochs=1, test=True)
+    data = synthetic.generate_dataset(3, 1, cfg, scene_len=30)
+    scenes = sim.scenes_from_dataset(data)
+    net = Net(cfg)
+    ds = SceneDataset({k: v for k, v in data.items()
+                       if not k.startswith("scene_")}, cfg)
+    sample = next(batch_iterator(ds, "val", 1, shuffle=False,
+                                 drop_last=False))
+    state = train.init_state(cfg, net, sample, jax.random.PRNGKey(0))
+    formulas = specs.build_scorer(cfg)
+    coeffs = diffusion.get_coeffs(cfg)
+    rows = []
+    for n_dev in (1, 2, 4, 8):
+        if n_dev > len(devs):
+            break
+        mesh = make_mesh((n_dev,), ("cand",), devices=devs[:n_dev])
+        with candidate_sharding(mesh, "cand"):
+            init_carry, step = sim.make_closed_loop_step(
+                scenes, cfg, net, state.params, formulas, coeffs,
+                chunk=CHUNK)
+            c0 = init_carry(jax.random.PRNGKey(0))
+            compiled = step.lower(c0).compile()
+            colls = count_collectives(compiled.as_text())
+            c = jax.block_until_ready(step(c0))
+            times = []
+            for _ in range(max(STEPS // CHUNK, 3)):
+                c = init_carry(jax.random.PRNGKey(1))
+                t0 = time.time()
+                c = step(c)
+                jax.block_until_ready(c.ego)
+                times.append(time.time() - t0)
+        med = sorted(times)[len(times) // 2]
+        rows.append({"devices": n_dev,
+                     "dispatch_ms": round(med * 1e3, 1),
+                     "collectives": {k: v for k, v in colls.items() if v}})
+        print(f"# cand n_dev={n_dev} median dispatch {med * 1e3:.1f} ms "
+              f"collectives={rows[-1]['collectives']}",
+              file=sys.stderr, flush=True)
+    base = rows[0]["dispatch_ms"]
+    for r in rows:
+        r["latency_speedup"] = round(base / r["dispatch_ms"], 3)
+    print(json.dumps({"mode": "cand", "chunk": CHUNK, "scenes": 1,
+                      "rows": rows}))
 
 
 def main():
@@ -98,4 +168,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main_cand() if MODE == "cand" else main()
