@@ -242,6 +242,12 @@ class Config:
     # DDPM sampler only (DDIM/DPM++ refresh per step).
     guidance_sel_every: int = 1
     use_pallas_clearance: bool = False        # fused min-clearance kernel
+    # run the WHOLE frozen-selection guidance Adam loop as one Pallas
+    # program per scene (ops/pallas_guidance.py) — requires
+    # guidance_reuse_selection and the fused loss; interpret-tested here,
+    # needs a toolchain with working Mosaic to compile (docs/PERF.md)
+    guidance_pallas: bool = False
+    pallas_interpret: bool = False            # run Pallas kernels interpreted
     # serve training batches from the C++ mmap shard store (thread-pool
     # gather + double-buffered prefetch) instead of numpy slicing — the
     # native replacement for the reference's DataLoader(num_workers=8)

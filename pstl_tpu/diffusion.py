@@ -184,6 +184,17 @@ def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
         if frozen is None and cfg.guidance_reuse_selection:
             frozen = fused_loss.freeze_cm(mu_init)
 
+        if cfg.guidance_pallas and frozen is not None:
+            # the whole Adam loop as ONE Pallas program per scene — mu,
+            # moments, and frozen payloads stay in VMEM across all
+            # iterations (ops/pallas_guidance.py; equality-tested vs the
+            # XLA loop below in tests/test_pallas_guidance.py)
+            from pstl_tpu.ops import pallas_guidance as pg
+            mu_opt = pg.guidance_adam_cm(
+                fused_loss, frozen, mu_init, beta_t, thres, cfg,
+                interpret=cfg.pallas_interpret)
+            return jax.lax.stop_gradient(post(mu_opt))
+
         def loss_fn(mu_cm_):
             return fused_loss.loss_cm(mu_cm_, thres, frozen=frozen)
     else:

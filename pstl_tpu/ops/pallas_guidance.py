@@ -1,0 +1,332 @@
+"""Pallas mega-kernel: the WHOLE frozen-selection guidance Adam loop.
+
+The round-2/3 traces (docs/PERF.md) put the in-scan cost of one guidance
+Adam iteration at ~0.117 ms vs a ~0.067 ms pure-FLOP floor — the residual
+is HBM streaming of the iteration's inputs (mu, Adam moments, frozen
+selection payloads) through many small XLA fusions.  This kernel runs the
+ENTIRE ``guidance_niters``-step Adam ascent for one scene inside one
+``pallas_call`` program: mu, the moments, and every frozen payload are
+read from HBM once, live in VMEM across all iterations, and only the
+guided mu is written back.
+
+Scope (matches ``diffusion._guidance_step`` on the production fast path):
+candidate-minor layout, frozen selections (``cfg.guidance_reuse_selection``),
+fp32 iteration math.  The per-scene loss replicates
+``specs.CandMinorGuidanceLoss.loss_cm(mu, thres, frozen=...)`` exactly
+(equality-tested in interpret mode, tests/test_pallas_guidance.py); the
+backward pass is ``jax.grad`` of the in-kernel forward — traced before
+Mosaic lowering, so the kernel contains plain reverse-mode HLO, no hand
+VJP to maintain.
+
+Mosaic-friendliness rules baked in (see ops/pallas_kernels.py):
+- no captured array constants / 1-D vectors: triangular cumsum matrices
+  are built from 2-D ``broadcasted_iota`` inside the kernel;
+- rollout cumsums and the reverse cumulative logsumexp ride (T, T) x
+  (T, R) matmuls (MXU) instead of scans;
+- every reduction is over the LEADING axis of a 2-D (T, R) tile with
+  keepdims=True (never a middle axis, never producing 1-D);
+- no lane-dim slicing at non-128 boundaries: the keep/change maneuver
+  split is computed for ALL R columns and blended with a (1, R)
+  ``is_keep`` mask instead of slicing R at M.
+
+Like the clearance kernel, Mosaic cannot compile this in the build
+container (45-min probe, docs/PERF.md "Pallas status"); it ships
+interpret-tested behind ``cfg.guidance_pallas`` for toolchains with a
+working Mosaic.
+
+Reference semantics: guidance loop nusc_train.py:599-627.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+try:
+    from jax.experimental import pallas as pl
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+
+# --------------------------------------------------------------------------
+# in-kernel math (pure jnp on (T, R) tiles; shapes static per trace)
+# --------------------------------------------------------------------------
+
+def _tri(T: int, strict: bool, dtype=jnp.float32):
+    """Lower-triangular ones (T, T) from 2-D iotas (no captured consts)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    return ((col < row) if strict else (col <= row)).astype(dtype)
+
+
+def _cumsum_T(x, strict=False):
+    """(T, R) cumulative sum over the leading axis via one MXU matmul."""
+    return jax.lax.dot(_tri(x.shape[0], strict), x,
+                       precision=jax.lax.Precision.HIGHEST)
+
+
+def _lse0(x):
+    """Stable logsumexp over the leading axis, keepdims -> (1, R)."""
+    m = jnp.max(x, axis=0, keepdims=True)
+    return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=0, keepdims=True))
+
+
+def _alw(g, tau):
+    """Always = softmin over T: (T, R) -> (1, R)."""
+    return -_lse0(-g * tau) / tau
+
+
+def _softmin_rows(rows, tau):
+    """Softmin over a list of (1, R) rows -> (1, R)."""
+    x = jnp.concatenate([-r * tau for r in rows], axis=0)
+    return -_lse0(x) / tau
+
+
+def _ev_alw(g, tau, nt2: int):
+    """Eventually(Always) over T: (T, R) -> (1, R).
+
+    suffix[t] = softmin_{s>=t} g[s] via an unrolled stable ``logaddexp``
+    backward recurrence (T = 20 is static and tiny; each step is one
+    elementwise op on a (1, R) row — a global-max matmul trick underflows
+    at tau = 100), then softmax over the first nt2 rows.
+    """
+    T = g.shape[0]
+    x = -g * tau                                           # (T, R)
+    s = x[T - 1:T]                                         # (1, R)
+    rows = [s]
+    for t in range(T - 2, -1, -1):
+        s = jnp.logaddexp(x[t:t + 1], s)
+        rows.append(s)
+    rows.reverse()                                         # rows[t] = lse_{s>=t}
+    suffix = jnp.concatenate(rows[:nt2], axis=0)           # (nt2, R)
+    return _lse0(-suffix) / tau
+
+
+def _scene_scores(muw, mua, cns, st, p):
+    """Per-scene robustness for all R rows — mirrors
+    specs.CandMinorGuidanceLoss.scores_r with frozen selections.
+
+    muw/mua: (T, R) normalized controls; cns: dict of (frozen) constant
+    tiles; st: dict of per-scene scalars; p: static params dict.
+    Returns (1, R) scores.
+    """
+    T, tau = p["T"], p["tau"]
+    w = muw * p["mul_w"]
+    a = mua * p["mul_a"]
+    th_s = st["th0"] + p["dt"] * _cumsum_T(w, strict=True)
+    v_s = st["v0"] + p["dt"] * _cumsum_T(a, strict=True)
+    cth, sth = jnp.cos(th_s), jnp.sin(th_s)
+    x_s = _cumsum_T(v_s * cth * p["dt"], strict=True)      # recentered: x0=0
+    y_s = _cumsum_T(v_s * sth * p["dt"], strict=True)
+
+    # lane distance / heading deviation from frozen segment constants
+    x2, y2, x3, y3 = cns["lx2"], cns["ly2"], cns["lx3"], cns["ly3"]
+    area = x_s * (y2 - y3) + x2 * (y3 - y_s) + x3 * (y_s - y2)
+    bottom = jnp.sqrt((x2 - x3) ** 2 + (y2 - y3) ** 2)
+    l2d = jnp.sqrt(jnp.clip((x_s - x2) ** 2 + (y_s - y2) ** 2, 1e-3))
+    normal = (bottom != 0).astype(jnp.float32)
+    d_all = normal * area / jnp.clip(bottom, 1e-7) + (1 - normal) * l2d
+    if p["inline"]:
+        l2d1 = jnp.sqrt(jnp.clip((x_s - x3) ** 2 + (y_s - y3) ** 2, 1e-3))
+        behind = ((x_s - x2) * (x3 - x2) + (y_s - y2) * (y3 - y2)) <= 0
+        ahead = ((x_s - x3) * (x2 - x3) + (y_s - y3) * (y2 - y3)) <= 0
+        behind_all = (cns["lfirst"] > 0) & behind
+        ahead_all = (cns["llast"] > 0) & ahead
+        norm_c = ~(behind_all | ahead_all)
+        sign = jnp.sign(d_all)
+        d_all = (norm_c * d_all + behind_all * l2d * sign
+                 + ahead_all * l2d1 * sign)
+    if p["clip_dist"]:
+        d_all = jnp.clip(d_all, -5.0, 5.0)
+    th_all = 1.0 - jnp.cos(cns["lth2"] - th_s)
+
+    # min neighbor clearance from the frozen (ego-disc, neighbor-disc) pair
+    mnd = None
+    for k in range(p["K"]):
+        exd = x_s + cns["caxe"][k] * cth
+        eyd = y_s + cns["caxe"][k] * sth
+        d2 = (exd - cns["cnx"][k]) ** 2 + (eyd - cns["cny"][k]) ** 2
+        per = jnp.sqrt(d2 + 1e-12) - cns["crad"][k]
+        vk = cns["cvalid"][k]
+        masked = jnp.clip(per, -5.0, 20.0) * vk + (1.0 - vk) * 100.0
+        mnd = masked if mnd is None else jnp.minimum(mnd, masked)
+
+    stlp = cns["stlp"]                                     # (6, R)
+    P = lambda i: stlp[i:i + 1]                            # (1, R)
+    vf, df, sf = cns["vf"], cns["df"], cns["sf"]           # (1, R)
+    alw_vmin = _alw((v_s - P(0)) / vf, tau)
+    alw_vmax = _alw((-v_s + P(1)) / vf, tau)
+    alw_safe = _alw((mnd - P(4)) / sf, tau)
+
+    # lane-keep score for ALL columns (blended below by is_keep)
+    thmax = P(5)
+    alw_d1 = _alw((d_all - P(2)) / df, tau)
+    alw_d2 = _alw((-d_all + P(3)) / df, tau)
+    alw_th = _alw((thmax - th_all) / thmax, tau)
+    s_keep = _softmin_rows(
+        [alw_vmin, alw_vmax, alw_d1, alw_d2, alw_th, alw_safe], tau)
+
+    # lane-change score for ALL columns
+    band = _softmin_2T((d_all - P(2)) / df, (-d_all + P(3)) / df, tau)
+    ev_d = _ev_alw(band, tau, p["nt2"])
+    ev_th = _ev_alw((thmax - th_all) / thmax, tau, p["nt2"])
+    s_change = _softmin_rows(
+        [alw_vmin, alw_vmax, ev_d, ev_th, alw_safe], tau)
+
+    keep = cns["is_keep"]                                  # (1, R)
+    return keep * s_keep + (1.0 - keep) * s_change
+
+
+def _softmin_2T(a, b, tau):
+    """Elementwise softmin of two (T, R) signals (the lane-offset band)."""
+    m = jnp.maximum(-a * tau, -b * tau)
+    return -(m + jnp.log(jnp.exp(-a * tau - m)
+                         + jnp.exp(-b * tau - m))) / tau
+
+
+def _adam_loop(muw0, mua0, cns, st, p):
+    """The full unrolled guidance Adam ascent for one scene."""
+    lr, b1, b2, eps = p["lr"], 0.9, 0.999, 1e-8
+    thres, beta, gscale = st["thres"], st["beta"], st["gscale"]
+
+    def loss(muw, mua):
+        s = _scene_scores(muw, mua, cns, st, p)            # (1, R)
+        hinge = jax.nn.relu(thres - s) * cns["valid"]
+        return jnp.sum(hinge) * gscale
+
+    grad_fn = jax.grad(loss, argnums=(0, 1))
+    muw, mua = muw0, mua0
+    mw = jnp.zeros_like(muw0)
+    vw = jnp.zeros_like(muw0)
+    ma = jnp.zeros_like(mua0)
+    va = jnp.zeros_like(mua0)
+    for it in range(p["niters"]):
+        gw, ga = grad_fn(muw, mua)
+        mw = b1 * mw + (1 - b1) * gw
+        vw = b2 * vw + (1 - b2) * gw * gw
+        ma = b1 * ma + (1 - b1) * ga
+        va = b2 * va + (1 - b2) * ga * ga
+        c1, c2 = 1 - b1 ** (it + 1), 1 - b2 ** (it + 1)
+        muw = muw - lr * (mw / c1) / (jnp.sqrt(vw / c2) + eps)
+        mua = mua - lr * (ma / c1) / (jnp.sqrt(va / c2) + eps)
+        if p["quirk"]:
+            dw = jnp.clip(jnp.abs(muw - muw0), -beta, beta)
+            da = jnp.clip(jnp.abs(mua - mua0), -beta, beta)
+        else:
+            dw = jnp.clip(muw - muw0, -beta, beta)
+            da = jnp.clip(mua - mua0, -beta, beta)
+        muw, mua = muw0 + dw, mua0 + da
+    return muw, mua
+
+
+# --------------------------------------------------------------------------
+# pallas_call wrapper
+# --------------------------------------------------------------------------
+
+_TENSOR_KEYS = ("lx2", "ly2", "lth2", "lx3", "ly3", "lfirst", "llast")
+_CLEAR_KEYS = ("caxe", "cnx", "cny", "crad", "cvalid")
+
+
+def _kernel(p, muw_ref, mua_ref, lane_ref, clear_ref, stlp_ref, nf_ref,
+            valid_ref, keep_ref, scal_ref, gvec_ref, outw_ref, outa_ref):
+    cns = {k: lane_ref[0, i] for i, k in enumerate(_TENSOR_KEYS)}
+    for i, k in enumerate(_CLEAR_KEYS):
+        cns[k] = clear_ref[0, i]
+    cns["stlp"] = stlp_ref[0]
+    cns["vf"] = nf_ref[0, 0]
+    cns["df"] = nf_ref[0, 1]
+    cns["sf"] = nf_ref[0, 2]
+    cns["valid"] = valid_ref[0]
+    cns["is_keep"] = keep_ref[0]
+    st = dict(th0=scal_ref[0, 0], v0=scal_ref[0, 1],
+              beta=gvec_ref[0, 0], thres=gvec_ref[0, 1],
+              gscale=gvec_ref[0, 2])
+    muw, mua = _adam_loop(muw_ref[0], mua_ref[0], cns, st, p)
+    outw_ref[0] = muw
+    outa_ref[0] = mua
+
+
+def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
+                     thres: float, cfg, interpret: bool = False):
+    """Run the frozen-path guidance Adam loop as one Pallas program per
+    scene.  Drop-in for the fused branch of ``diffusion._guidance_step``
+    (candidate-minor in, candidate-minor out).
+
+    mu_cm: (bs, nt, 2, R) normalized posterior mean (j-major candidates).
+    frozen: output of ``fused_loss.freeze_cm`` (selections at mu_cm).
+    """
+    f32 = jnp.float32
+    bs, T, _, R = mu_cm.shape
+    K = fused_loss.nx.shape[1]
+    lane = frozen["lane"]
+    clear = frozen["clear"]
+
+    muw = mu_cm[:, :, 0, :].astype(f32)
+    mua = mu_cm[:, :, 1, :].astype(f32)
+    lane_in = jnp.stack(
+        [lane["x2"].astype(f32), lane["y2"].astype(f32),
+         lane["th2"].astype(f32), lane["x3"].astype(f32),
+         lane["y3"].astype(f32), lane["first"].astype(f32),
+         lane["last"].astype(f32)], axis=1)                 # (bs, 7, T, R)
+    rad = fused_loss.re + fused_loss.rn[..., None]          # (bs, K, T, 1)
+    clear_in = jnp.stack(
+        [clear["axe"].astype(f32), clear["nx"].astype(f32),
+         clear["ny"].astype(f32),
+         jnp.broadcast_to(rad, (bs, K, T, R)).astype(f32),
+         jnp.broadcast_to(fused_loss.nvalid[..., None],
+                          (bs, K, T, R)).astype(f32)],
+        axis=1)                                             # (bs, 5, K, T, R)
+    stlp_in = fused_loss.stlp_r.astype(f32)                 # (bs, 6, R)
+    ones = jnp.ones((bs, 1, R), f32)
+    nf_in = jnp.concatenate(
+        [jnp.broadcast_to(jnp.asarray(fused_loss.vf, f32), (bs, 1, R)),
+         jnp.broadcast_to(jnp.asarray(fused_loss.df, f32), (bs, 1, R)),
+         jnp.broadcast_to(jnp.asarray(fused_loss.sf, f32), (bs, 1, R))],
+        axis=1) if cfg.norm_stl else jnp.concatenate([ones] * 3, axis=1)
+    valid_in = fused_loss.valid_r.astype(f32)[:, None]      # (bs, 1, R)
+    M = fused_loss.M
+    keep_in = jnp.broadcast_to(
+        (jnp.arange(R) < M).astype(f32)[None, None], (bs, 1, R))
+    scal_in = jnp.concatenate(
+        [fused_loss.th0.reshape(bs, 1), fused_loss.v0.reshape(bs, 1)],
+        axis=1)                                             # (bs, 2)
+    gden = jnp.clip(jnp.mean(fused_loss.valid_r), 1e-2)
+    gvec_in = jnp.stack(
+        [jnp.asarray(beta_t, f32), jnp.asarray(thres, f32),
+         1.0 / (bs * R * gden)])[None]                      # (1, 3)
+
+    p = dict(T=T, K=K, nt2=cfg.nt // 2, tau=float(cfg.smoothing_factor),
+             dt=float(cfg.dt), mul_w=float(cfg.mul_w_max),
+             mul_a=float(cfg.mul_a_max), lr=float(cfg.guidance_lr),
+             niters=int(cfg.guidance_niters), inline=bool(cfg.inline),
+             clip_dist=bool(cfg.clip_dist),
+             quirk=bool(cfg.guidance_positive_offset_quirk))
+
+    spec = lambda *shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + (0,) * len(shape))
+    rep = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape))
+    outw, outa = pl.pallas_call(
+        functools.partial(_kernel, p),
+        grid=(bs,),
+        in_specs=[
+            spec(T, R), spec(T, R),                         # muw, mua
+            spec(7, T, R),                                  # lane payloads
+            spec(5, K, T, R),                               # clearance
+            spec(6, R), spec(3, R),                         # stlp, norm
+            spec(1, R), spec(1, R),                         # valid, is_keep
+            spec(2),                                        # th0, v0
+            rep(1, 3),                                      # beta/thres/gscale
+        ],
+        out_specs=[spec(T, R), spec(T, R)],
+        out_shape=[jax.ShapeDtypeStruct((bs, T, R), f32)] * 2,
+        interpret=interpret,
+    )(muw, mua, lane_in, clear_in, stlp_in, nf_in, valid_in, keep_in,
+      scal_in, gvec_in)
+    return jnp.stack([outw, outa], axis=2)                  # (bs, T, 2, R)

@@ -1,0 +1,117 @@
+"""Interpret-mode equality: the Pallas guidance mega-kernel vs the XLA
+frozen-path Adam loop (diffusion._guidance_step fused branch).
+
+Mosaic cannot compile in this container (docs/PERF.md "Pallas status"), so
+these tests pin the kernel's semantics through the Pallas interpreter —
+the same kernel code compiles on a toolchain with working Mosaic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pstl_tpu import diffusion, specs
+from pstl_tpu.config import Config
+from pstl_tpu.ops import pallas_guidance
+
+
+def _setup(norm_stl=False, quirk=False, niters=3, seed=0, bs=2, M=4):
+    cfg = Config(diffusion=True, n_randoms=M, n_neighbors=3, nt=20,
+                 flex=True, norm_stl=norm_stl, guidance=True,
+                 guidance_niters=niters, guidance_reuse_selection=True,
+                 guidance_positive_offset_quirk=quirk).finalize()
+    rng = np.random.RandomState(seed)
+    k, T, S = cfg.n_neighbors, cfg.nt, cfg.n_segs
+    batch = {
+        "neighbor_trajs_aug": jnp.asarray(
+            rng.randn(bs, k, T, 7).astype(np.float32) * 5),
+        "currlane_wpts": jnp.asarray(
+            rng.randn(bs, S, 3).astype(np.float32) * 3),
+        "leftlane_wpts": jnp.asarray(
+            rng.randn(bs, S, 3).astype(np.float32) * 3),
+        "rightlane_wpts": jnp.asarray(
+            rng.randn(bs, S, 3).astype(np.float32) * 3),
+        "curr_id": jnp.ones((bs, 1)),
+        "left_id": jnp.asarray((rng.rand(bs, 1) > .5).astype(np.float32)),
+        "right_id": jnp.asarray((rng.rand(bs, 1) > .5).astype(np.float32)),
+        "gt_high_level": jnp.asarray(
+            rng.randint(0, 3, (bs, 1)).astype(np.float32)),
+    }
+    batch["neighbor_trajs_aug"] = batch["neighbor_trajs_aug"].at[
+        ..., 0].set((rng.rand(bs, k, T) > 0.3).astype(np.float32))
+    gt_stlp = jnp.asarray(
+        np.stack([rng.uniform(0, 2, bs), rng.uniform(5, 9, bs),
+                  rng.uniform(-3, -1, bs), rng.uniform(1, 3, bs),
+                  rng.uniform(0.1, 1, bs), rng.uniform(0.2, 0.5, bs)],
+                 -1).astype(np.float32))
+    dense = specs.densify_batch(batch, gt_stlp, cfg,
+                                key=jax.random.PRNGKey(seed))
+    states = jnp.asarray(rng.randn(bs, 4).astype(np.float32))
+    states = states.at[:, 3].set(jnp.abs(states[:, 3]) * 3)
+    valid = dense["valids_dense"].reshape(-1)
+    fused = specs.make_guidance_loss(batch, dense, cfg, states, valid)
+    assert fused is not None
+    N = bs * M * 3
+    mu = jnp.asarray(rng.randn(N, cfg.nt * 2).astype(np.float32) * 0.5)
+    return cfg, fused, mu
+
+
+def _run_both(cfg, fused, mu, thres=100.0, beta=0.02):
+    """XLA frozen-path Adam loop vs the Pallas kernel on the same frozen
+    selections; returns (xla (N, nt*2), pallas (N, nt*2))."""
+    mu_cm = fused._to_cand_minor(mu)
+    frozen = fused.freeze_cm(mu_cm)
+    beta_t = jnp.asarray(beta, jnp.float32)
+
+    ctx = diffusion.make_guidance_ctx(None, fused.valid_r, None, fused)
+    xla = diffusion._guidance_step(mu, beta_t, ctx, cfg, maximize=True,
+                                   frozen=frozen)
+    pal_cm = pallas_guidance.guidance_adam_cm(
+        fused, frozen, mu_cm, beta_t, thres, cfg, interpret=True)
+    pal = fused._from_cand_minor(pal_cm)
+    return np.asarray(xla), np.asarray(pal)
+
+
+@pytest.mark.parametrize("norm_stl", [False, True])
+def test_kernel_matches_xla(norm_stl):
+    cfg, fused, mu = _setup(norm_stl=norm_stl, seed=1)
+    xla, pal = _run_both(cfg, fused, mu)
+    np.testing.assert_allclose(pal, xla, rtol=2e-4, atol=2e-5)
+
+
+def test_kernel_matches_xla_quirk():
+    cfg, fused, mu = _setup(quirk=True, seed=2)
+    xla, pal = _run_both(cfg, fused, mu)
+    np.testing.assert_allclose(pal, xla, rtol=2e-4, atol=2e-5)
+
+
+def test_kernel_matches_xla_one_iter():
+    """niters=1 (the reference's own closed-loop schedule)."""
+    cfg, fused, mu = _setup(niters=1, seed=3)
+    xla, pal = _run_both(cfg, fused, mu)
+    np.testing.assert_allclose(pal, xla, rtol=2e-4, atol=2e-5)
+
+
+def test_flag_path_matches_default():
+    """cfg.guidance_pallas=True (+ pallas_interpret) routes
+    diffusion._guidance_step through the kernel and must reproduce the
+    default XLA loop bit-for-tolerance."""
+    cfg, fused, mu = _setup(seed=5)
+    beta_t = jnp.asarray(0.02, jnp.float32)
+    ctx = diffusion.make_guidance_ctx(None, fused.valid_r, None, fused)
+    base = diffusion._guidance_step(mu, beta_t, ctx, cfg, maximize=True)
+    cfg_p = cfg.with_(guidance_pallas=True, pallas_interpret=True)
+    pal = diffusion._guidance_step(mu, beta_t, ctx, cfg_p, maximize=True)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(base),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_kernel_actually_guides():
+    """The kernel's output must differ from its input (non-trivial update)
+    and stay within the beta trust region of it."""
+    cfg, fused, mu = _setup(seed=4)
+    _, pal = _run_both(cfg, fused, mu, beta=0.05)
+    d = np.abs(pal - np.asarray(mu))
+    assert d.max() > 1e-5
+    assert d.max() <= 0.05 + 1e-6
