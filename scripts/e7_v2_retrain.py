@@ -57,6 +57,21 @@ def main():
     cfg7 = PRESETS["e7_ours"].with_(**base).with_(
         stl_weight=1.0, epochs=epochs,
         net_pretrained_path=os.path.join(OUT, src))
+    # training-recipe overrides for sweeps, e.g.
+    # E7V2_OVERRIDES="diversity_weight=2.0,diversity_scale=0.5"
+    for kv in filter(None, os.environ.get("E7V2_OVERRIDES", "").split(",")):
+        k, v = kv.split("=")
+        cur = getattr(cfg7, k)
+        if isinstance(cur, bool):
+            val = v.lower() in ("1", "true")
+        elif isinstance(cur, int):
+            val = int(float(v))
+        elif isinstance(cur, float):
+            val = float(v)
+        else:
+            val = v
+        cfg7 = cfg7.with_(**{k: val})
+        log(f"override: {k} = {getattr(cfg7, k)}")
     ds = SceneDataset.load(os.path.join(OUT, "cache_aug.npz"), cfg7)
     results = json.load(open(os.path.join(OUT, "results.json")))
 
@@ -80,6 +95,12 @@ def main():
         results[f"openloop_{row}"] = {k: round(v, 4) for k, v in out.items()}
         with open(os.path.join(OUT, "results.json"), "w") as f:
             json.dump(results, f, indent=2)
+
+    if os.environ.get("E7V2_SKIP_SIM"):
+        log("E7V2_SKIP_SIM set — open-loop rows only")
+        log("done: " + json.dumps({k: v for k, v in results.items()
+                                   if tag in k}))
+        return
 
     # closed-loop ours rows on the held-out protocol
     from pstl_tpu import sim as simmod
