@@ -307,6 +307,15 @@ class Config:
         upd["offline"] = not c.collect_data
         if c.test or upd.get("test"):
             upd["epochs"] = 1
+        if c.guidance_pallas:
+            # the mega-kernel consumes frozen selections and computes in
+            # fp32 (ops/pallas_guidance.py) — couple, don't silently no-op
+            upd.update(guidance_reuse_selection=True,
+                       guidance_fused_loss=True)
+            if c.robustness_dtype != "float32":
+                raise ValueError(
+                    "guidance_pallas computes fp32 robustness in VMEM; "
+                    "robustness_dtype must stay float32 with it")
         return replace(c, **upd)
 
     def with_(self, **kw) -> "Config":

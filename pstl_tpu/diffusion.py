@@ -184,7 +184,12 @@ def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
         if frozen is None and cfg.guidance_reuse_selection:
             frozen = fused_loss.freeze_cm(mu_init)
 
-        if cfg.guidance_pallas and frozen is not None:
+        if cfg.guidance_pallas and frozen is None:
+            raise ValueError(
+                "guidance_pallas needs frozen selections — set "
+                "guidance_reuse_selection=True (Config.finalize couples "
+                "this automatically)")
+        if cfg.guidance_pallas:
             # the whole Adam loop as ONE Pallas program per scene — mu,
             # moments, and frozen payloads stay in VMEM across all
             # iterations (ops/pallas_guidance.py; equality-tested vs the
@@ -198,6 +203,11 @@ def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
         def loss_fn(mu_cm_):
             return fused_loss.loss_cm(mu_cm_, thres, frozen=frozen)
     else:
+        if cfg.guidance_pallas:
+            raise ValueError(
+                "guidance_pallas needs the candidate-minor fused loss — "
+                "set guidance_fused_loss=True (Config.finalize couples "
+                "this automatically)")
         mu_init = mu
         post = lambda x: x
 

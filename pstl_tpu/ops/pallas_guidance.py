@@ -198,7 +198,7 @@ def _adam_loop(muw0, mua0, cns, st, p):
     def loss(muw, mua):
         s = _scene_scores(muw, mua, cns, st, p)            # (1, R)
         hinge = jax.nn.relu(thres - s) * cns["valid"]
-        return jnp.sum(hinge) * gscale
+        return jnp.sum(hinge * gscale)                     # scalar for grad
 
     grad_fn = jax.grad(loss, argnums=(0, 1))
     muw, mua = muw0, mua0
@@ -239,14 +239,16 @@ def _kernel(p, muw_ref, mua_ref, lane_ref, clear_ref, stlp_ref, nf_ref,
     for i, k in enumerate(_CLEAR_KEYS):
         cns[k] = clear_ref[0, i]
     cns["stlp"] = stlp_ref[0]
-    cns["vf"] = nf_ref[0, 0]
-    cns["df"] = nf_ref[0, 1]
-    cns["sf"] = nf_ref[0, 2]
+    # keep (1, R), never 1-D — Mosaic rejects 1-D vectors (module header)
+    cns["vf"] = nf_ref[0, 0:1]
+    cns["df"] = nf_ref[0, 1:2]
+    cns["sf"] = nf_ref[0, 2:3]
     cns["valid"] = valid_ref[0]
     cns["is_keep"] = keep_ref[0]
-    st = dict(th0=scal_ref[0, 0], v0=scal_ref[0, 1],
-              beta=gvec_ref[0, 0], thres=gvec_ref[0, 1],
-              gscale=gvec_ref[0, 2])
+    # (1, 1) 2-D reads broadcast against (T, R) — no 0-D/1-D operands
+    st = dict(th0=scal_ref[0:1, 0:1], v0=scal_ref[0:1, 1:2],
+              beta=gvec_ref[0:1, 0:1], thres=gvec_ref[0:1, 1:2],
+              gscale=gvec_ref[0:1, 2:3])
     muw, mua = _adam_loop(muw_ref[0], mua_ref[0], cns, st, p)
     outw_ref[0] = muw
     outa_ref[0] = mua
@@ -261,6 +263,10 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
     mu_cm: (bs, nt, 2, R) normalized posterior mean (j-major candidates).
     frozen: output of ``fused_loss.freeze_cm`` (selections at mu_cm).
     """
+    if not HAVE_PALLAS:
+        raise RuntimeError(
+            "cfg.guidance_pallas=True but jax.experimental.pallas is "
+            "unavailable in this JAX build")
     f32 = jnp.float32
     bs, T, _, R = mu_cm.shape
     K = fused_loss.nx.shape[1]

@@ -92,17 +92,29 @@ _CAND_CTX: list = [None]    # (Mesh, axis_name) or None
 
 
 class candidate_sharding:
-    """Context manager enabling candidate-axis sharding constraints."""
+    """Context manager enabling candidate-axis sharding constraints.
+
+    The context is read at TRACE time by :func:`constrain_candidates`, and
+    jit's cache key cannot see it — a function first traced OUTSIDE the
+    context would silently reuse its unsharded trace inside it (and vice
+    versa).  To make that impossible, entering/exiting a context that
+    CHANGES the active state clears jax's compilation caches: correctness
+    over warm caches (the intended use is one enter per process, wrapping
+    both construction and execution of the jitted step)."""
 
     def __init__(self, mesh: Mesh, axis: str = "cand"):
         self._entry = (mesh, axis)
 
     def __enter__(self):
         self._prev = _CAND_CTX[0]
+        if self._prev != self._entry:
+            jax.clear_caches()
         _CAND_CTX[0] = self._entry
         return self
 
     def __exit__(self, *exc):
+        if _CAND_CTX[0] != self._prev:
+            jax.clear_caches()
         _CAND_CTX[0] = self._prev
         return False
 

@@ -60,7 +60,7 @@ def main():
     # training-recipe overrides for sweeps, e.g.
     # E7V2_OVERRIDES="diversity_weight=2.0,diversity_scale=0.5"
     for kv in filter(None, os.environ.get("E7V2_OVERRIDES", "").split(",")):
-        k, v = kv.split("=")
+        k, v = (s.strip() for s in kv.split("=", 1))
         cur = getattr(cfg7, k)
         if isinstance(cur, bool):
             val = v.lower() in ("1", "true")

@@ -52,9 +52,25 @@ _COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
 
 
 def count_collectives(compiled_text: str):
-    low = compiled_text.lower()
-    return {op: low.count(f" {op}") + low.count(f"%{op}")
-            for op in _COLLECTIVES}
+    """Count collective op DEFINITIONS (one per `= <opcode>(` line).
+
+    Plain substring counting also matches the def's own %name, every
+    operand reference, and -start/-done pairs — it inflated the first
+    published census ~3x.  Async pairs count once (the -start)."""
+    import re
+    counts = {op: 0 for op in _COLLECTIVES}
+    for line in compiled_text.splitlines():
+        m = re.search(r"= (?:\S+ )?([a-z\-]+)\(", line)
+        if not m:
+            continue
+        name = m.group(1)
+        if name.endswith("-done"):
+            continue                       # async pair: count the -start
+        if name.endswith("-start"):
+            name = name[:-len("-start")]
+        if name in counts:
+            counts[name] += 1
+    return counts
 
 
 def main_cand():

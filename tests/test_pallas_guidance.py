@@ -16,10 +16,12 @@ from pstl_tpu.config import Config
 from pstl_tpu.ops import pallas_guidance
 
 
-def _setup(norm_stl=False, quirk=False, niters=3, seed=0, bs=2, M=4):
+def _setup(norm_stl=False, quirk=False, niters=3, seed=0, bs=2, M=4,
+           inline=False, clip_dist=False):
     cfg = Config(diffusion=True, n_randoms=M, n_neighbors=3, nt=20,
                  flex=True, norm_stl=norm_stl, guidance=True,
                  guidance_niters=niters, guidance_reuse_selection=True,
+                 inline=inline, clip_dist=clip_dist,
                  guidance_positive_offset_quirk=quirk).finalize()
     rng = np.random.RandomState(seed)
     k, T, S = cfg.n_neighbors, cfg.nt, cfg.n_segs
@@ -82,6 +84,14 @@ def test_kernel_matches_xla(norm_stl):
 
 def test_kernel_matches_xla_quirk():
     cfg, fused, mu = _setup(quirk=True, seed=2)
+    xla, pal = _run_both(cfg, fused, mu)
+    np.testing.assert_allclose(pal, xla, rtol=2e-4, atol=2e-5)
+
+
+def test_kernel_matches_xla_inline_clip():
+    """The lane-endpoint (inline) and distance-clip branches — the real
+    divergence surface vs specs._lane_terms."""
+    cfg, fused, mu = _setup(inline=True, clip_dist=True, seed=7)
     xla, pal = _run_both(cfg, fused, mu)
     np.testing.assert_allclose(pal, xla, rtol=2e-4, atol=2e-5)
 
