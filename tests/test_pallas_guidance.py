@@ -117,6 +117,17 @@ def test_flag_path_matches_default():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_config_couplings():
+    """finalize() couples guidance_pallas to its prerequisites and rejects
+    the fp32-only kernel under bf16 robustness."""
+    c = Config(diffusion=True, guidance=True, guidance_pallas=True,
+               guidance_reuse_selection=False).finalize()
+    assert c.guidance_reuse_selection and c.guidance_fused_loss
+    with pytest.raises(ValueError):
+        Config(diffusion=True, guidance_pallas=True,
+               robustness_dtype="bfloat16").finalize()
+
+
 def test_kernel_actually_guides():
     """The kernel's output must differ from its input (non-trivial update)
     and stay within the beta trust region of it."""
