@@ -30,6 +30,11 @@ def main():
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     import jax
+    if os.environ.get("BENCH_PLATFORM"):
+        # CPU smoke runs etc. — the container pre-imports jax with the
+        # axon platform pinned, so env vars are too late; config works
+        # because backend selection is lazy
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
     from pstl_tpu import diffusion, sim, specs
     from pstl_tpu.config import Config

@@ -501,8 +501,20 @@ def load_params_only(ckpt_dir: str, state: TrainState) -> TrainState:
     (reference: strict=not rect_head, nusc_train.py:1215)."""
     import orbax.checkpoint as ocp
     path = _resolve_ckpt(ckpt_dir)
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path)
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(path)
+    except ValueError:
+        # checkpoint written on another platform (e.g. TPU ckpt restored
+        # on CPU): the recorded device shardings don't resolve — restore
+        # as host numpy instead and let jnp.asarray place the arrays
+        import numpy as _np
+        with ocp.PyTreeCheckpointer() as ckptr:
+            meta = ckptr.metadata(path)
+            tree = getattr(meta, "item_metadata", meta)
+            args = jax.tree_util.tree_map(
+                lambda _: ocp.RestoreArgs(restore_type=_np.ndarray), tree)
+            restored = ckptr.restore(path, restore_args=args)
     src = restored["params"]["params"]
     dst = jax.tree_util.tree_map(lambda x: x, state.params)  # copy
     merged = dict(dst["params"])
