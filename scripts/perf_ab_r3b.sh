@@ -26,5 +26,6 @@ run both_bf16_unroll3 BENCH_GEOM_DTYPE=bfloat16 BENCH_ROB_DTYPE=bfloat16 BENCH_S
 # compliance column in the output is the metric-neutrality check).
 run both_bf16_sel2    BENCH_GEOM_DTYPE=bfloat16 BENCH_ROB_DTYPE=bfloat16 BENCH_SEL_EVERY=2
 run both_bf16_sel4    BENCH_GEOM_DTYPE=bfloat16 BENCH_ROB_DTYPE=bfloat16 BENCH_SEL_EVERY=4
+run both_bf16_chunk16 BENCH_GEOM_DTYPE=bfloat16 BENCH_ROB_DTYPE=bfloat16 BENCH_CHUNK=16 BENCH_STEPS=32
 run parity_nog        BENCH_MODE=parity_nog
 cat "$OUT"
