@@ -31,6 +31,7 @@ import numpy as np
 from pstl_tpu import specs
 from pstl_tpu.config import Config
 from pstl_tpu.ops import dynamics as dyn
+from pstl_tpu.parallel.mesh import constrain_candidates
 
 Array = jax.Array
 
@@ -292,7 +293,6 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
     # opt-in candidate-axis (tensor-parallel) sharding: constraining the
     # candidate axis of the initial noise lets GSPMD shard the whole
     # reverse scan over the mesh (parallel/mesh.py candidate_sharding)
-    from pstl_tpu.parallel import constrain_candidates
     if use_cm:
         x0 = constrain_candidates(
             _normal(k_init, (fused_loss.bs, cfg.nt, 2, fused_loss.R)), -1,
@@ -396,7 +396,6 @@ def reverse_sample_ddim(key: Array, apply_fn: Callable,
     taus_next = np.concatenate([taus[1:], [0]]).astype(np.int32)
     use_guidance = guidance_ctx is not None and cfg.guidance
     k_init, k_loop = jax.random.split(key)
-    from pstl_tpu.parallel import constrain_candidates
     x0 = constrain_candidates(jax.random.normal(k_init, (n, cfg.nt * 2)), 0)
     if mono:
         ext_extra = {"stlp": tmp_stlp, "gt_stlp": tmp_stlp}
@@ -456,7 +455,6 @@ def reverse_sample_dpmpp(key: Array, apply_fn: Callable,
     taus = np.linspace(T - 1, 1, S).round().astype(np.int32)
     use_guidance = guidance_ctx is not None and cfg.guidance
     k_init, _ = jax.random.split(key)
-    from pstl_tpu.parallel import constrain_candidates
     x0 = constrain_candidates(jax.random.normal(k_init, (n, cfg.nt * 2)), 0)
     if mono:
         ext_extra = {"stlp": tmp_stlp, "gt_stlp": tmp_stlp}

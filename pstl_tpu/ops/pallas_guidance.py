@@ -229,15 +229,23 @@ def _adam_loop(muw0, mua0, cns, st, p):
 # pallas_call wrapper
 # --------------------------------------------------------------------------
 
-_TENSOR_KEYS = ("lx2", "ly2", "lth2", "lx3", "ly3", "lfirst", "llast")
-_CLEAR_KEYS = ("caxe", "cnx", "cny", "crad", "cvalid")
+_LANE_KEYS = ("lx2", "ly2", "lth2", "lx3", "ly3", "lfirst", "llast")
+_CLEAR_KEYS = ("caxe", "cnx", "cny")
 
 
-def _kernel(p, muw_ref, mua_ref, lane_ref, clear_ref, stlp_ref, nf_ref,
-            valid_ref, keep_ref, scal_ref, gvec_ref, outw_ref, outa_ref):
-    cns = {k: lane_ref[0, i] for i, k in enumerate(_TENSOR_KEYS)}
-    for i, k in enumerate(_CLEAR_KEYS):
-        cns[k] = clear_ref[0, i]
+def _kernel(p, muw_ref, mua_ref, lx2_ref, ly2_ref, lth2_ref, lx3_ref,
+            ly3_ref, lfirst_ref, llast_ref, caxe_ref, cnx_ref, cny_ref,
+            crad_ref, cvalid_ref, stlp_ref, nf_ref, valid_ref, keep_ref,
+            scal_ref, gvec_ref, outw_ref, outa_ref):
+    lane_refs = (lx2_ref, ly2_ref, lth2_ref, lx3_ref, ly3_ref, lfirst_ref,
+                 llast_ref)
+    cns = {k: r[0] for k, r in zip(_LANE_KEYS, lane_refs)}
+    for k, r in zip(_CLEAR_KEYS, (caxe_ref, cnx_ref, cny_ref)):
+        cns[k] = r[0]                                      # (K, T, R)
+    # per-(k, t) scalars as (K, T, 1): [k] -> (T, 1) broadcasts against
+    # (T, R) with leading-index-only access (no lane slicing, no 1-D)
+    cns["crad"] = crad_ref[0]
+    cns["cvalid"] = cvalid_ref[0]
     cns["stlp"] = stlp_ref[0]
     # keep (1, R), never 1-D — Mosaic rejects 1-D vectors (module header)
     cns["vf"] = nf_ref[0, 0:1]
@@ -275,19 +283,18 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
 
     muw = mu_cm[:, :, 0, :].astype(f32)
     mua = mu_cm[:, :, 1, :].astype(f32)
-    lane_in = jnp.stack(
-        [lane["x2"].astype(f32), lane["y2"].astype(f32),
-         lane["th2"].astype(f32), lane["x3"].astype(f32),
-         lane["y3"].astype(f32), lane["first"].astype(f32),
-         lane["last"].astype(f32)], axis=1)                 # (bs, 7, T, R)
-    rad = fused_loss.re + fused_loss.rn[..., None]          # (bs, K, T, 1)
-    clear_in = jnp.stack(
-        [clear["axe"].astype(f32), clear["nx"].astype(f32),
-         clear["ny"].astype(f32),
-         jnp.broadcast_to(rad, (bs, K, T, R)).astype(f32),
-         jnp.broadcast_to(fused_loss.nvalid[..., None],
-                          (bs, K, T, R)).astype(f32)],
-        axis=1)                                             # (bs, 5, K, T, R)
+    # every payload rides as its OWN operand (BlockSpecs slice operands
+    # directly) — no stacked copies of the per-denoise-step frozen
+    # payloads, and no R-fold broadcast of the per-(k, t) scalars
+    lane_ins = [lane["x2"].astype(f32), lane["y2"].astype(f32),
+                lane["th2"].astype(f32), lane["x3"].astype(f32),
+                lane["y3"].astype(f32), lane["first"].astype(f32),
+                lane["last"].astype(f32)]                   # 7 x (bs, T, R)
+    clear_ins = [clear["axe"].astype(f32), clear["nx"].astype(f32),
+                 clear["ny"].astype(f32)]                   # 3 x (bs,K,T,R)
+    crad_in = (fused_loss.re
+               + fused_loss.rn[..., None]).astype(f32)      # (bs, K, T, 1)
+    cvalid_in = fused_loss.nvalid[..., None].astype(f32)    # (bs, K, T, 1)
     stlp_in = fused_loss.stlp_r.astype(f32)                 # (bs, 6, R)
     ones = jnp.ones((bs, 1, R), f32)
     nf_in = jnp.concatenate(
@@ -321,18 +328,19 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
     outw, outa = pl.pallas_call(
         functools.partial(_kernel, p),
         grid=(bs,),
-        in_specs=[
-            spec(T, R), spec(T, R),                         # muw, mua
-            spec(7, T, R),                                  # lane payloads
-            spec(5, K, T, R),                               # clearance
-            spec(6, R), spec(3, R),                         # stlp, norm
-            spec(1, R), spec(1, R),                         # valid, is_keep
-            spec(2),                                        # th0, v0
-            rep(1, 3),                                      # beta/thres/gscale
-        ],
+        in_specs=(
+            [spec(T, R), spec(T, R)]                        # muw, mua
+            + [spec(T, R)] * 7                              # lane payloads
+            + [spec(K, T, R)] * 3                           # clearance
+            + [spec(K, T, 1), spec(K, T, 1)]                # crad, cvalid
+            + [spec(6, R), spec(3, R),                      # stlp, norm
+               spec(1, R), spec(1, R),                      # valid, is_keep
+               spec(2),                                     # th0, v0
+               rep(1, 3)]                                   # beta/thres/gscale
+        ),
         out_specs=[spec(T, R), spec(T, R)],
         out_shape=[jax.ShapeDtypeStruct((bs, T, R), f32)] * 2,
         interpret=interpret,
-    )(muw, mua, lane_in, clear_in, stlp_in, nf_in, valid_in, keep_in,
-      scal_in, gvec_in)
+    )(muw, mua, *lane_ins, *clear_ins, crad_in, cvalid_in, stlp_in, nf_in,
+      valid_in, keep_in, scal_in, gvec_in)
     return jnp.stack([outw, outa], axis=2)                  # (bs, T, 2, R)

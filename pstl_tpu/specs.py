@@ -87,7 +87,8 @@ def prep_signals(x: Dict[str, Array], cfg: Config,
         from pstl_tpu.ops import pallas_kernels as pk
         out["min_nei_d"] = pk.min_neighbor_distance_fused(
             x["ego_traj"][..., 0:4], nei[..., 1:7], nei[..., I_VAL],
-            ego_L=cfg.ego_L, ego_W=cfg.ego_W, num_L=cfg.refined_nL)
+            ego_L=cfg.ego_L, ego_W=cfg.ego_W, num_L=cfg.refined_nL,
+            interpret=cfg.pallas_interpret)
     else:
         res = geom.min_neighbor_distance(
             x["ego_traj"][..., 0:4], nei[..., 1:7], nei[..., I_VAL],
