@@ -311,7 +311,7 @@ class Config:
             # the mega-kernel consumes frozen selections and computes in
             # fp32 (ops/pallas_guidance.py) — couple, don't silently no-op
             upd.update(guidance_reuse_selection=True,
-                       guidance_fused_loss=True)
+                       guidance_fused_loss=True, tiled_scorer=True)
             if c.robustness_dtype != "float32":
                 raise ValueError(
                     "guidance_pallas computes fp32 robustness in VMEM; "

@@ -68,6 +68,16 @@ def main():
             val = int(float(v))
         elif isinstance(cur, float):
             val = float(v)
+        elif cur is None:
+            # Optional numeric fields (e.g. multi_cands=None): infer from
+            # the literal so the field never gets a raw string
+            try:
+                val = int(v)
+            except ValueError:
+                try:
+                    val = float(v)
+                except ValueError:
+                    val = v
         else:
             val = v
         cfg7 = cfg7.with_(**{k: val})

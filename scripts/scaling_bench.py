@@ -59,8 +59,11 @@ def count_collectives(compiled_text: str):
     published census ~3x.  Async pairs count once (the -start)."""
     import re
     counts = {op: 0 for op in _COLLECTIVES}
+    # the type between '=' and the opcode may be a TUPLE with spaces for
+    # async ops: '%cp = (f32[..], u32[]) collective-permute-start(...)'
+    pat = re.compile(r"=\s*(?:\([^)]*\)\s*|\S+\s+)?([a-z][a-z\-]*)\(")
     for line in compiled_text.splitlines():
-        m = re.search(r"= (?:\S+ )?([a-z\-]+)\(", line)
+        m = pat.search(line)
         if not m:
             continue
         name = m.group(1)
