@@ -247,6 +247,10 @@ class Config:
     # guidance_reuse_selection and the fused loss; interpret-tested here,
     # needs a toolchain with working Mosaic to compile (docs/PERF.md)
     guidance_pallas: bool = False
+    # compute the freeze selections INSIDE the Pallas program too (no
+    # payload HBM round-trip; where-chain argmins).  Implies
+    # guidance_pallas; refreshes every guided step (sel_every must be 1)
+    guidance_pallas_fuse_freeze: bool = False
     pallas_interpret: bool = False            # run Pallas kernels interpreted
     # serve training batches from the C++ mmap shard store (thread-pool
     # gather + double-buffered prefetch) instead of numpy slicing — the
@@ -307,7 +311,13 @@ class Config:
         upd["offline"] = not c.collect_data
         if c.test or upd.get("test"):
             upd["epochs"] = 1
-        if c.guidance_pallas:
+        if c.guidance_pallas_fuse_freeze:
+            upd["guidance_pallas"] = True
+            if c.guidance_sel_every != 1:
+                raise ValueError(
+                    "guidance_pallas_fuse_freeze re-freezes every guided "
+                    "step; guidance_sel_every must be 1")
+        if c.guidance_pallas or upd.get("guidance_pallas"):
             # the mega-kernel consumes frozen selections and computes in
             # fp32 (ops/pallas_guidance.py) — couple, don't silently no-op
             upd.update(guidance_reuse_selection=True,

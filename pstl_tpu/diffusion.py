@@ -193,12 +193,14 @@ def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
         if cfg.guidance_pallas:
             # the whole Adam loop as ONE Pallas program per scene — mu,
             # moments, and frozen payloads stay in VMEM across all
-            # iterations (ops/pallas_guidance.py; equality-tested vs the
-            # XLA loop below in tests/test_pallas_guidance.py)
+            # iterations; with fuse_freeze even the selections are
+            # computed in-VMEM (ops/pallas_guidance.py; equality-tested
+            # vs the XLA loop below in tests/test_pallas_guidance.py)
             from pstl_tpu.ops import pallas_guidance as pg
             mu_opt = pg.guidance_adam_cm(
                 fused_loss, frozen, mu_init, beta_t, thres, cfg,
-                interpret=cfg.pallas_interpret)
+                interpret=cfg.pallas_interpret,
+                fuse_freeze=cfg.guidance_pallas_fuse_freeze)
             return jax.lax.stop_gradient(post(mu_opt))
 
         def loss_fn(mu_cm_):

@@ -108,6 +108,18 @@ def _ev_alw(g, tau, nt2: int):
     return _lse0(-suffix) / tau
 
 
+def _rollout_k(muw, mua, st, p):
+    """(T, R) controls -> recentered ego states (all (T, R))."""
+    w = muw * p["mul_w"]
+    a = mua * p["mul_a"]
+    th_s = st["th0"] + p["dt"] * _cumsum_T(w, strict=True)
+    v_s = st["v0"] + p["dt"] * _cumsum_T(a, strict=True)
+    cth, sth = jnp.cos(th_s), jnp.sin(th_s)
+    x_s = _cumsum_T(v_s * cth * p["dt"], strict=True)      # recentered: x0=0
+    y_s = _cumsum_T(v_s * sth * p["dt"], strict=True)
+    return x_s, y_s, th_s, v_s, cth, sth
+
+
 def _scene_scores(muw, mua, cns, st, p):
     """Per-scene robustness for all R rows — mirrors
     specs.CandMinorGuidanceLoss.scores_r with frozen selections.
@@ -117,13 +129,7 @@ def _scene_scores(muw, mua, cns, st, p):
     Returns (1, R) scores.
     """
     T, tau = p["T"], p["tau"]
-    w = muw * p["mul_w"]
-    a = mua * p["mul_a"]
-    th_s = st["th0"] + p["dt"] * _cumsum_T(w, strict=True)
-    v_s = st["v0"] + p["dt"] * _cumsum_T(a, strict=True)
-    cth, sth = jnp.cos(th_s), jnp.sin(th_s)
-    x_s = _cumsum_T(v_s * cth * p["dt"], strict=True)      # recentered: x0=0
-    y_s = _cumsum_T(v_s * sth * p["dt"], strict=True)
+    x_s, y_s, th_s, v_s, cth, sth = _rollout_k(muw, mua, st, p)
 
     # lane distance / heading deviation from frozen segment constants
     x2, y2, x3, y3 = cns["lx2"], cns["ly2"], cns["lx3"], cns["ly3"]
@@ -188,6 +194,75 @@ def _softmin_2T(a, b, tau):
     m = jnp.maximum(-a * tau, -b * tau)
     return -(m + jnp.log(jnp.exp(-a * tau - m)
                          + jnp.exp(-b * tau - m))) / tau
+
+
+def _freeze_k(muw0, mua0, geo, st, p):
+    """In-kernel freeze: the discrete argmin selections at the posterior
+    mean, as static where-chains instead of one-hot einsums — mirrors
+    specs.CandMinorGuidanceLoss._lane_select / _clear_select (fp32).
+
+    geo: lxr/lyr/lthr (S, R), ndx/ndy (K, nLn, T, 1).  Ties resolve to
+    the EARLIEST index (strict <), matching jnp.argmin.
+    Returns the cns payload entries the Adam loop consumes.
+    """
+    S, K, nLn = p["S"], p["K"], p["nLn"]
+    x_s, y_s, _, _, cth, sth = _rollout_k(muw0, mua0, st, p)
+    lxr, lyr, lthr = geo["lxr"], geo["lyr"], geo["lthr"]
+
+    def pdist(s):                                        # (T, R)
+        return jnp.sqrt((x_s - lxr[s:s + 1]) ** 2
+                        + (y_s - lyr[s:s + 1]) ** 2)
+
+    big = jnp.full_like(x_s, 1e30)
+    best = big
+    zero = jnp.zeros_like(x_s)
+    x2 = y2 = th2 = x3 = y3 = first = last = zero
+    pd_prev = pdist(0)
+    for s in range(S - 1):
+        pd_next = pdist(s + 1)
+        segc = pd_prev + pd_next
+        better = segc < best
+        best = jnp.where(better, segc, best)
+        x2 = jnp.where(better, lxr[s:s + 1], x2)
+        y2 = jnp.where(better, lyr[s:s + 1], y2)
+        th2 = jnp.where(better, lthr[s:s + 1], th2)
+        x3 = jnp.where(better, lxr[s + 1:s + 2], x3)
+        y3 = jnp.where(better, lyr[s + 1:s + 2], y3)
+        first = jnp.where(better, 1.0 if s == 0 else 0.0, first)
+        last = jnp.where(better, 1.0 if s == S - 2 else 0.0, last)
+        pd_prev = pd_next
+    out = dict(lx2=x2, ly2=y2, lth2=th2, lx3=x3, ly3=y3,
+               lfirst=first, llast=last)
+
+    # nearest (ego-disc, neighbor-disc) pair per (k, t, row): static
+    # nLe x nLn where-chain; flat order e*nLn+nn matches the XLA path's
+    # pi//nLn, pi%nLn decomposition
+    caxe, cnx, cny = [], [], []
+    for k in range(K):
+        best2 = big
+        a_sel = nx_sel = ny_sel = zero
+        for e in range(p["nLe"]):
+            alpha = e / max(p["nLe"] - 1, 1)
+            axe_e = ((-p["ego_L"] / 2 + p["re"]) * (1 - alpha)
+                     + (p["ego_L"] / 2 - p["re"]) * alpha)   # python float
+            exd = x_s + axe_e * cth
+            eyd = y_s + axe_e * sth
+            for nn in range(nLn):
+                ndx = geo["ndx"][k, nn]                      # (T, 1)
+                ndy = geo["ndy"][k, nn]
+                d2 = (exd - ndx) ** 2 + (eyd - ndy) ** 2
+                better = d2 < best2
+                best2 = jnp.where(better, d2, best2)
+                a_sel = jnp.where(better, axe_e, a_sel)
+                nx_sel = jnp.where(better, ndx, nx_sel)
+                ny_sel = jnp.where(better, ndy, ny_sel)
+        caxe.append(a_sel)
+        cnx.append(nx_sel)
+        cny.append(ny_sel)
+    # the Adam loop indexes these [k] — emulate the (K, T, R) stack with a
+    # plain list (no jnp.stack: lists of (T, R) tiles index statically)
+    out["caxe"], out["cnx"], out["cny"] = caxe, cnx, cny
+    return out
 
 
 def _adam_loop(muw0, mua0, cns, st, p):
@@ -262,14 +337,43 @@ def _kernel(p, muw_ref, mua_ref, lx2_ref, ly2_ref, lth2_ref, lx3_ref,
     outa_ref[0] = mua
 
 
+def _kernel_fused(p, muw_ref, mua_ref, lxr_ref, lyr_ref, lthr_ref,
+                  ndx_ref, ndy_ref, crad_ref, cvalid_ref, stlp_ref, nf_ref,
+                  valid_ref, keep_ref, scal_ref, gvec_ref, outw_ref,
+                  outa_ref):
+    """Freeze + Adam loop in ONE program: the selections are computed
+    in-VMEM from the posterior mean (no per-step payload HBM round-trip)."""
+    st = dict(th0=scal_ref[0:1, 0:1], v0=scal_ref[0:1, 1:2],
+              beta=gvec_ref[0:1, 0:1], thres=gvec_ref[0:1, 1:2],
+              gscale=gvec_ref[0:1, 2:3])
+    geo = dict(lxr=lxr_ref[0], lyr=lyr_ref[0], lthr=lthr_ref[0],
+               ndx=ndx_ref[0], ndy=ndy_ref[0])
+    muw0, mua0 = muw_ref[0], mua_ref[0]
+    cns = _freeze_k(muw0, mua0, geo, st, p)
+    cns["crad"] = crad_ref[0]
+    cns["cvalid"] = cvalid_ref[0]
+    cns["stlp"] = stlp_ref[0]
+    cns["vf"] = nf_ref[0, 0:1]
+    cns["df"] = nf_ref[0, 1:2]
+    cns["sf"] = nf_ref[0, 2:3]
+    cns["valid"] = valid_ref[0]
+    cns["is_keep"] = keep_ref[0]
+    muw, mua = _adam_loop(muw0, mua0, cns, st, p)
+    outw_ref[0] = muw
+    outa_ref[0] = mua
+
+
 def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
-                     thres: float, cfg, interpret: bool = False):
+                     thres: float, cfg, interpret: bool = False,
+                     fuse_freeze: bool = False):
     """Run the frozen-path guidance Adam loop as one Pallas program per
     scene.  Drop-in for the fused branch of ``diffusion._guidance_step``
     (candidate-minor in, candidate-minor out).
 
     mu_cm: (bs, nt, 2, R) normalized posterior mean (j-major candidates).
-    frozen: output of ``fused_loss.freeze_cm`` (selections at mu_cm).
+    frozen: output of ``fused_loss.freeze_cm`` (selections at mu_cm);
+    ignored with ``fuse_freeze=True``, where the selections are computed
+    in-VMEM from the scene geometry (no payload HBM round-trip at all).
     """
     if not HAVE_PALLAS:
         raise RuntimeError(
@@ -278,20 +382,33 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
     f32 = jnp.float32
     bs, T, _, R = mu_cm.shape
     K = fused_loss.nx.shape[1]
-    lane = frozen["lane"]
-    clear = frozen["clear"]
 
     muw = mu_cm[:, :, 0, :].astype(f32)
     mua = mu_cm[:, :, 1, :].astype(f32)
     # every payload rides as its OWN operand (BlockSpecs slice operands
     # directly) — no stacked copies of the per-denoise-step frozen
     # payloads, and no R-fold broadcast of the per-(k, t) scalars
-    lane_ins = [lane["x2"].astype(f32), lane["y2"].astype(f32),
-                lane["th2"].astype(f32), lane["x3"].astype(f32),
-                lane["y3"].astype(f32), lane["first"].astype(f32),
-                lane["last"].astype(f32)]                   # 7 x (bs, T, R)
-    clear_ins = [clear["axe"].astype(f32), clear["nx"].astype(f32),
-                 clear["ny"].astype(f32)]                   # 3 x (bs,K,T,R)
+    if fuse_freeze:
+        nLn = fused_loss.nx.shape[-1]
+        # neighbor discs laid out (bs, K, nLn, T, 1): the kernel's
+        # where-chain indexes [k, nn] with leading indices only
+        ndx_in = jnp.moveaxis(fused_loss.nx, -1, 2
+                              ).astype(f32)[..., None]
+        ndy_in = jnp.moveaxis(fused_loss.ny, -1, 2
+                              ).astype(f32)[..., None]
+        geo_ins = [fused_loss.lxr.astype(f32),              # (bs, S, R)
+                   fused_loss.lyr.astype(f32),
+                   fused_loss.lthr.astype(f32),
+                   ndx_in, ndy_in]
+    else:
+        lane = frozen["lane"]
+        clear = frozen["clear"]
+        lane_ins = [lane["x2"].astype(f32), lane["y2"].astype(f32),
+                    lane["th2"].astype(f32), lane["x3"].astype(f32),
+                    lane["y3"].astype(f32), lane["first"].astype(f32),
+                    lane["last"].astype(f32)]               # 7 x (bs, T, R)
+        clear_ins = [clear["axe"].astype(f32), clear["nx"].astype(f32),
+                     clear["ny"].astype(f32)]               # 3 x (bs,K,T,R)
     crad_in = (fused_loss.re
                + fused_loss.rn[..., None]).astype(f32)      # (bs, K, T, 1)
     cvalid_in = fused_loss.nvalid[..., None].astype(f32)    # (bs, K, T, 1)
@@ -325,22 +442,31 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
         (1,) + shape, lambda i: (i,) + (0,) * len(shape))
     rep = lambda *shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape))
+    tail_specs = [spec(K, T, 1), spec(K, T, 1),             # crad, cvalid
+                  spec(6, R), spec(3, R),                   # stlp, norm
+                  spec(1, R), spec(1, R),                   # valid, is_keep
+                  spec(2),                                  # th0, v0
+                  rep(1, 3)]                                # beta/thres/gscale
+    tail_ins = (crad_in, cvalid_in, stlp_in, nf_in, valid_in, keep_in,
+                scal_in, gvec_in)
+    if fuse_freeze:
+        S = fused_loss.lxr.shape[1]
+        p.update(S=S, nLe=int(cfg.refined_nL), nLn=nLn,
+                 ego_L=float(cfg.ego_L), re=float(cfg.ego_W) / 2.0)
+        kern = functools.partial(_kernel_fused, p)
+        mid_specs = ([spec(S, R)] * 3                       # lane polylines
+                     + [spec(K, nLn, T, 1)] * 2)            # neighbor discs
+        mid_ins = geo_ins
+    else:
+        kern = functools.partial(_kernel, p)
+        mid_specs = [spec(T, R)] * 7 + [spec(K, T, R)] * 3
+        mid_ins = lane_ins + clear_ins
     outw, outa = pl.pallas_call(
-        functools.partial(_kernel, p),
+        kern,
         grid=(bs,),
-        in_specs=(
-            [spec(T, R), spec(T, R)]                        # muw, mua
-            + [spec(T, R)] * 7                              # lane payloads
-            + [spec(K, T, R)] * 3                           # clearance
-            + [spec(K, T, 1), spec(K, T, 1)]                # crad, cvalid
-            + [spec(6, R), spec(3, R),                      # stlp, norm
-               spec(1, R), spec(1, R),                      # valid, is_keep
-               spec(2),                                     # th0, v0
-               rep(1, 3)]                                   # beta/thres/gscale
-        ),
+        in_specs=[spec(T, R), spec(T, R)] + mid_specs + tail_specs,
         out_specs=[spec(T, R), spec(T, R)],
         out_shape=[jax.ShapeDtypeStruct((bs, T, R), f32)] * 2,
         interpret=interpret,
-    )(muw, mua, *lane_ins, *clear_ins, crad_in, cvalid_in, stlp_in, nf_in,
-      valid_in, keep_in, scal_in, gvec_in)
+    )(muw, mua, *mid_ins, *tail_ins)
     return jnp.stack([outw, outa], axis=2)                  # (bs, T, 2, R)

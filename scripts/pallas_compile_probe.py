@@ -58,17 +58,23 @@ fused = specs.make_guidance_loss(batch, dense, cfg, states, valid)
 mu = jnp.asarray(rng.randn(bs * 64 * 3, cfg.nt * 2).astype(np.float32))
 mu_cm = fused._to_cand_minor(mu)
 frozen = fused.freeze_cm(mu_cm)
-out = pg.guidance_adam_cm(fused, frozen, mu_cm, jnp.float32(0.02), 100.0,
-                          cfg, interpret=False)
+import os
+if os.environ.get("PROBE_FUSE_FREEZE"):
+    out = pg.guidance_adam_cm(fused, None, mu_cm, jnp.float32(0.02), 100.0,
+                              cfg, interpret=False, fuse_freeze=True)
+else:
+    out = pg.guidance_adam_cm(fused, frozen, mu_cm, jnp.float32(0.02),
+                              100.0, cfg, interpret=False)
 jax.block_until_ready(out)
 print("guidance OK", out.shape)
 """
 
 
-def probe(name, code):
+def probe(name, code, env_extra=None):
     t0 = time.time()
+    env = dict(os.environ, **(env_extra or {}))
     try:
-        r = subprocess.run([sys.executable, "-c", code], cwd=HERE,
+        r = subprocess.run([sys.executable, "-c", code], cwd=HERE, env=env,
                            capture_output=True, text=True, timeout=BUDGET)
         dt = time.time() - t0
         status = "ok" if r.returncode == 0 else "error"
@@ -82,6 +88,9 @@ def probe(name, code):
 
 
 if __name__ == "__main__":
-    for name, code in (("min_clearance", _CLEARANCE),
-                       ("guidance_adam_cm", _GUIDANCE)):
-        print(json.dumps(probe(name, code)), flush=True)
+    for name, code, env in (
+            ("min_clearance", _CLEARANCE, None),
+            ("guidance_adam_cm", _GUIDANCE, None),
+            ("guidance_adam_cm_fuse_freeze", _GUIDANCE,
+             {"PROBE_FUSE_FREEZE": "1"})):
+        print(json.dumps(probe(name, code, env)), flush=True)

@@ -117,6 +117,41 @@ def test_flag_path_matches_default():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("norm_stl", [False, True])
+def test_fused_freeze_matches_xla(norm_stl):
+    """guidance_pallas_fuse_freeze: the in-kernel where-chain freeze must
+    reproduce the XLA freeze_cm + Adam loop exactly (selections at the
+    posterior mean, earliest-index tie semantics)."""
+    cfg, fused, mu = _setup(norm_stl=norm_stl, seed=11)
+    mu_cm = fused._to_cand_minor(mu)
+    frozen = fused.freeze_cm(mu_cm)
+    beta_t = jnp.asarray(0.02, jnp.float32)
+    ctx = diffusion.make_guidance_ctx(None, fused.valid_r, None, fused)
+    xla = diffusion._guidance_step(mu, beta_t, ctx, cfg, maximize=True,
+                                   frozen=frozen)
+    pal_cm = pallas_guidance.guidance_adam_cm(
+        fused, None, mu_cm, beta_t, 100.0, cfg, interpret=True,
+        fuse_freeze=True)
+    pal = fused._from_cand_minor(pal_cm)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(xla),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_freeze_flag_path():
+    """cfg.guidance_pallas_fuse_freeze routes the sampler's guidance step
+    through the freeze+Adam kernel and matches the default path."""
+    cfg, fused, mu = _setup(seed=12)
+    beta_t = jnp.asarray(0.02, jnp.float32)
+    ctx = diffusion.make_guidance_ctx(None, fused.valid_r, None, fused)
+    base = diffusion._guidance_step(mu, beta_t, ctx, cfg, maximize=True)
+    cfg_p = cfg.with_(guidance_pallas=True,
+                      guidance_pallas_fuse_freeze=True,
+                      pallas_interpret=True)
+    pal = diffusion._guidance_step(mu, beta_t, ctx, cfg_p, maximize=True)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(base),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_config_couplings():
     """finalize() couples guidance_pallas to its prerequisites and rejects
     the fp32-only kernel under bf16 robustness."""
