@@ -246,6 +246,11 @@ class Config:
     # program per scene (ops/pallas_guidance.py) — requires
     # guidance_reuse_selection and the fused loss; interpret-tested here,
     # needs a toolchain with working Mosaic to compile (docs/PERF.md)
+    # compute keep+change maneuver scores for ALL R columns and blend by
+    # a static is_keep mask instead of slicing R at M (exact; removes the
+    # slice/pad halo exchanges under candidate-axis sharding at ~1.6x
+    # redundant reduction FLOPs — single-chip keeps exact slices)
+    guidance_blend_scores: bool = False
     guidance_pallas: bool = False
     # compute the freeze selections INSIDE the Pallas program too (no
     # payload HBM round-trip; where-chain argmins).  Implies

@@ -700,6 +700,33 @@ class CandMinorGuidanceLoss:
         alw_vmax = self._alw((-v_s + P(I_VMAX)) / self.vf, tau)
         alw_safe = self._alw((mnd - P(I_DSAFE)) / self.sf, tau)
 
+        if cfg.guidance_blend_scores:
+            # candidate-sharding-friendly variant: compute the lane-KEEP
+            # and lane-CHANGE scores for ALL R columns and blend with a
+            # static is_keep mask (r < M, j-major) instead of slicing the
+            # R axis at the non-shard-aligned M boundary — same values
+            # column-for-column (equality-tested), ~1.6x redundant
+            # reduction FLOPs, but no slice/pad halo exchanges when R is
+            # sharded over a "cand" mesh axis (docs/PERF.md census)
+            sm = lambda rows: -jax.scipy.special.logsumexp(
+                jnp.stack(rows, axis=1).astype(self.dtype) * (-tau),
+                axis=1) / tau
+            th_m = P(I_THMAX)
+            alw_d1 = self._alw((d_all - P(I_DMIN)) / self.df, tau)
+            alw_d2 = self._alw((-d_all + P(I_DMAX)) / self.df, tau)
+            alw_th = self._alw((th_m - th_all) / th_m, tau)
+            s_keep_all = sm([alw_vmin, alw_vmax, alw_d1, alw_d2, alw_th,
+                             alw_safe])                       # (bs, R)
+            band_all = sm([(d_all - P(I_DMIN)) / self.df,
+                           (-d_all + P(I_DMAX)) / self.df])   # (bs,T,R)
+            ev_d_all = self._ev_alw(band_all, tau)
+            ev_th_all = self._ev_alw((th_m - th_all) / th_m, tau)
+            s_change_all = sm([alw_vmin, alw_vmax, ev_d_all, ev_th_all,
+                               alw_safe])                     # (bs, R)
+            is_keep = (jnp.arange(R) < M).astype(jnp.float32)[None]
+            return (is_keep * s_keep_all
+                    + (1.0 - is_keep) * s_change_all).astype(jnp.float32)
+
         kM = slice(0, M)
         cM = slice(M, R)
         thk = Ps(I_THMAX, kM)

@@ -91,6 +91,7 @@ def main_cand():
                  multi_cands=2, n_randoms=8, n_neighbors=4, n_shards=2,
                  diffusion_steps=8, guidance=True, guidance_niters=1,
                  compute_dtype="float32",
+                 guidance_blend_scores=bool(os.environ.get("SCALE_BLEND")),
                  flex=True).finalize().with_(epochs=1, test=True)
     data = synthetic.generate_dataset(3, 1, cfg, scene_len=30)
     scenes = sim.scenes_from_dataset(data)

@@ -410,6 +410,32 @@ class TestTiledScorer:
             lambda m: f16(m, 100.0, frozen=frozen))(mu))
         assert abs(l16f - l16) < 0.05 * max(abs(l16), 1.0), (l16f, l16)
 
+    def test_blend_scores_matches_sliced(self):
+        """cfg.guidance_blend_scores (the candidate-sharding-friendly
+        all-R + is_keep-mask variant) must equal the sliced keep/change
+        path column-for-column, values AND gradients."""
+        for norm_stl in (False, True):
+            cfg, batch, dense, _ = self._setup(norm_stl, seed=21)
+            bs, M = 3, cfg.n_randoms
+            N = bs * M * 3
+            rng = np.random.RandomState(4)
+            states = jnp.asarray(rng.randn(bs, 4).astype(np.float32))
+            states = states.at[:, 3].set(jnp.abs(states[:, 3]) * 3)
+            valid = dense["valids_dense"].reshape(-1)
+            mu = jnp.asarray(rng.randn(N, cfg.nt * 2).astype(np.float32))
+            fs = specs.make_guidance_loss(batch, dense, cfg, states, valid)
+            fb = specs.make_guidance_loss(
+                batch, dense, cfg.with_(guidance_blend_scores=True),
+                states, valid)
+            s_s = np.asarray(jax.jit(fs.scores_r)(fs._to_cand_minor(mu)))
+            s_b = np.asarray(jax.jit(fb.scores_r)(fb._to_cand_minor(mu)))
+            np.testing.assert_allclose(s_b, s_s, rtol=1e-5, atol=1e-5)
+            g_s = np.asarray(jax.jit(jax.grad(
+                lambda m: fs(m, 100.0)))(mu))
+            g_b = np.asarray(jax.jit(jax.grad(
+                lambda m: fb(m, 100.0)))(mu))
+            np.testing.assert_allclose(g_b, g_s, rtol=1e-4, atol=1e-6)
+
     def test_clearance_coarse_pair(self):
         """cfg.clearance_coarse_pair: the two-stage frozen-pair selection
         agrees with the exact pair argmin on almost all rows, and the
