@@ -1,6 +1,7 @@
 """Mesh construction, batch sharding, and multihost helpers (8 CPU devs)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -101,12 +102,14 @@ def test_closed_loop_sharded_matches_unsharded():
                                    atol=1e-5, err_msg=f"chunked {k}")
 
 
-def test_closed_loop_candidate_sharded_matches_unsharded():
+@pytest.mark.parametrize("blend", [False, True])
+def test_closed_loop_candidate_sharded_matches_unsharded(blend):
     """Candidate-axis (tensor-parallel) sharding: a SINGLE scene planned
     with the candidate fan sharded over a 4-device "cand" mesh must match
     the unsharded plan exactly (same program, GSPMD layouts only) — the
     single-scene-latency scaling story (parallel/mesh.py
-    candidate_sharding; constraints in diffusion.reverse_sample)."""
+    candidate_sharding; constraints in diffusion.reverse_sample).  blend
+    = cfg.guidance_blend_scores, the zero-permute variant."""
     from pstl_tpu import diffusion, sim, specs, train
     from pstl_tpu.config import Config
     from pstl_tpu.data import synthetic
@@ -117,7 +120,7 @@ def test_closed_loop_candidate_sharded_matches_unsharded():
     cfg = Config(diffusion=True, rect_head=True, diverse_loss=True,
                  multi_cands=2, n_randoms=4, n_neighbors=2, n_shards=2,
                  diffusion_steps=5, guidance=True, guidance_niters=1,
-                 compute_dtype="float32",
+                 compute_dtype="float32", guidance_blend_scores=blend,
                  flex=True).finalize().with_(epochs=1, test=True)
     data = synthetic.generate_dataset(3, 1, cfg, scene_len=26)
     scenes = sim.scenes_from_dataset(data)
