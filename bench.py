@@ -68,6 +68,8 @@ def main():
         cfg = cfg.with_(cm_sampler=False)
     if os.environ.get("BENCH_COARSE_PAIR"):
         cfg = cfg.with_(clearance_coarse_pair=True)
+    if os.environ.get("BENCH_BLEND"):
+        cfg = cfg.with_(guidance_blend_scores=True)
     if os.environ.get("BENCH_SCAN_UNROLL"):
         cfg = cfg.with_(
             diffusion_scan_unroll=int(os.environ["BENCH_SCAN_UNROLL"]))
