@@ -49,6 +49,12 @@ def main():
                  flex=True).finalize().with_(epochs=1, test=True)
     if os.environ.get("BENCH_PALLAS"):
         cfg = cfg.with_(use_pallas_clearance=True)
+    if os.environ.get("BENCH_GPALLAS"):
+        # re-finalize: guidance_pallas couples reuse_selection/fused_loss
+        cfg = cfg.with_(
+            guidance_pallas=True,
+            guidance_pallas_fuse_freeze=os.environ["BENCH_GPALLAS"] == "2",
+        ).finalize()
     # frozen argmin selections across the per-step Adam iterations:
     # measured 242.2 vs 213.3 steps/s (1.135x) metric-neutral (compliance
     # 0.935 vs 0.939, zero collision/OOL both) — docs/PERF.md round 3.

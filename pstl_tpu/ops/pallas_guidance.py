@@ -329,7 +329,7 @@ def _kernel(p, muw_ref, mua_ref, lx2_ref, ly2_ref, lth2_ref, lx3_ref,
     cns["valid"] = valid_ref[0]
     cns["is_keep"] = keep_ref[0]
     # (1, 1) 2-D reads broadcast against (T, R) — no 0-D/1-D operands
-    st = dict(th0=scal_ref[0:1, 0:1], v0=scal_ref[0:1, 1:2],
+    st = dict(th0=scal_ref[0, :, 0:1], v0=scal_ref[0, :, 1:2],
               beta=gvec_ref[0:1, 0:1], thres=gvec_ref[0:1, 1:2],
               gscale=gvec_ref[0:1, 2:3])
     muw, mua = _adam_loop(muw_ref[0], mua_ref[0], cns, st, p)
@@ -343,7 +343,7 @@ def _kernel_fused(p, muw_ref, mua_ref, lxr_ref, lyr_ref, lthr_ref,
                   outa_ref):
     """Freeze + Adam loop in ONE program: the selections are computed
     in-VMEM from the posterior mean (no per-step payload HBM round-trip)."""
-    st = dict(th0=scal_ref[0:1, 0:1], v0=scal_ref[0:1, 1:2],
+    st = dict(th0=scal_ref[0, :, 0:1], v0=scal_ref[0, :, 1:2],
               beta=gvec_ref[0:1, 0:1], thres=gvec_ref[0:1, 1:2],
               gscale=gvec_ref[0:1, 2:3])
     geo = dict(lxr=lxr_ref[0], lyr=lyr_ref[0], lthr=lthr_ref[0],
@@ -423,9 +423,12 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
     M = fused_loss.M
     keep_in = jnp.broadcast_to(
         (jnp.arange(R) < M).astype(f32)[None, None], (bs, 1, R))
+    # (bs, 1, 2): a 2-D (bs, 2) operand would need an (8, 128)-divisible
+    # block; with a leading grid axis the last two block dims just have to
+    # EQUAL the array dims, so ride the scalars as a (1, 2) tile per scene
     scal_in = jnp.concatenate(
         [fused_loss.th0.reshape(bs, 1), fused_loss.v0.reshape(bs, 1)],
-        axis=1)                                             # (bs, 2)
+        axis=1)[:, None]                                    # (bs, 1, 2)
     gden = jnp.clip(jnp.mean(fused_loss.valid_r), 1e-2)
     gvec_in = jnp.stack(
         [jnp.asarray(beta_t, f32), jnp.asarray(thres, f32),
@@ -445,7 +448,7 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
     tail_specs = [spec(K, T, 1), spec(K, T, 1),             # crad, cvalid
                   spec(6, R), spec(3, R),                   # stlp, norm
                   spec(1, R), spec(1, R),                   # valid, is_keep
-                  spec(2),                                  # th0, v0
+                  spec(1, 2),                               # th0, v0
                   rep(1, 3)]                                # beta/thres/gscale
     tail_ins = (crad_in, cvalid_in, stlp_in, nf_in, valid_in, keep_in,
                 scal_in, gvec_in)
