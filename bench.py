@@ -49,11 +49,20 @@ def main():
                  flex=True).finalize().with_(epochs=1, test=True)
     if os.environ.get("BENCH_PALLAS"):
         cfg = cfg.with_(use_pallas_clearance=True)
-    if os.environ.get("BENCH_GPALLAS"):
+    # Pallas guidance mega-kernel (ops/pallas_guidance.py): the whole
+    # per-denoise-step Adam ascent in one program per scene, with the
+    # freeze argmins computed in-VMEM.  Measured 493.3 vs 348.8 steps/s
+    # for the XLA loop (docs/PERF.md round 3) — shipped default.
+    # BENCH_GPALLAS=0 reverts to the XLA candidate-minor loop,
+    # =1 frozen-payload kernel, =2 fuse_freeze (same as default),
+    # =1f/=2f the scene-folded variants.
+    gp = os.environ.get("BENCH_GPALLAS", "2")
+    if gp != "0":
         # re-finalize: guidance_pallas couples reuse_selection/fused_loss
         cfg = cfg.with_(
             guidance_pallas=True,
-            guidance_pallas_fuse_freeze=os.environ["BENCH_GPALLAS"] == "2",
+            guidance_pallas_fuse_freeze=gp.startswith("2"),
+            guidance_pallas_fold=gp.endswith("f"),
         ).finalize()
     # frozen argmin selections across the per-step Adam iterations:
     # measured 242.2 vs 213.3 steps/s (1.135x) metric-neutral (compliance

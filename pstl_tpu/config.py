@@ -256,6 +256,19 @@ class Config:
     # payload HBM round-trip; where-chain argmins).  Implies
     # guidance_pallas; refreshes every guided step (sel_every must be 1)
     guidance_pallas_fuse_freeze: bool = False
+    # fold all scenes into the lane-column axis of ONE Pallas program
+    # ((T, bs*R) tiles) instead of a sequential per-scene grid — every
+    # VPU op is bs x wider on the single TensorCore (gradients decouple
+    # per column, so the math is identical; equality-tested).  Measured
+    # (docs/PERF.md): helps the frozen-payload kernel (397.8 -> 420.6
+    # steps/s) but HURTS fuse_freeze (493.3 -> 421.5: the per-scene grid
+    # already pipelines, and folding forces a (K,nLn,T,bs*R) neighbor
+    # broadcast through HBM every denoise step) — default off since
+    # fuse_freeze unfolded is the fastest shipped config
+    guidance_pallas_fold: bool = False
+    # chunk the folded columns over a grid of programs (VMEM relief
+    # valve); 0 = one program.  Must divide bs*R and be 128-divisible
+    guidance_pallas_cols: int = 0
     pallas_interpret: bool = False            # run Pallas kernels interpreted
     # serve training batches from the C++ mmap shard store (thread-pool
     # gather + double-buffered prefetch) instead of numpy slicing — the

@@ -363,6 +363,68 @@ def _kernel_fused(p, muw_ref, mua_ref, lxr_ref, lyr_ref, lthr_ref,
     outa_ref[0] = mua
 
 
+def _kernel_f(p, muw_ref, mua_ref, lx2_ref, ly2_ref, lth2_ref, lx3_ref,
+              ly3_ref, lfirst_ref, llast_ref, caxe_ref, cnx_ref, cny_ref,
+              crad_ref, cvalid_ref, stlp_ref, nf_ref, valid_ref, keep_ref,
+              scal_ref, gvec_ref, outw_ref, outa_ref):
+    """Scene-FOLDED variant: all scenes ride as extra lane columns of one
+    program — tiles are (T, C) with C = bs*R/grid instead of (T, R) per
+    sequential grid step, so every VPU op is bs x wider.  Per-scene scalars
+    (th0/v0, disc radii/valids) arrive pre-broadcast along the folded
+    column axis; the loss sum decouples per column, so gradients are
+    identical to the per-scene grid (equality-tested)."""
+    lane_refs = (lx2_ref, ly2_ref, lth2_ref, lx3_ref, ly3_ref, lfirst_ref,
+                 llast_ref)
+    cns = {k: r[...] for k, r in zip(_LANE_KEYS, lane_refs)}
+    for k, r in zip(_CLEAR_KEYS, (caxe_ref, cnx_ref, cny_ref)):
+        cns[k] = r[...]                                    # (K, T, C)
+    cns["crad"] = crad_ref[...]                            # (K, T, C)
+    cns["cvalid"] = cvalid_ref[...]
+    cns["stlp"] = stlp_ref[...]                            # (6, C)
+    cns["vf"] = nf_ref[0:1]                                # (1, C)
+    cns["df"] = nf_ref[1:2]
+    cns["sf"] = nf_ref[2:3]
+    cns["valid"] = valid_ref[...]                          # (1, C)
+    cns["is_keep"] = keep_ref[...]
+    st = dict(th0=scal_ref[0:1], v0=scal_ref[1:2],         # (1, C) rows
+              beta=gvec_ref[0:1, 0:1], thres=gvec_ref[0:1, 1:2],
+              gscale=gvec_ref[0:1, 2:3])
+    muw, mua = _adam_loop(muw_ref[...], mua_ref[...], cns, st, p)
+    outw_ref[...] = muw
+    outa_ref[...] = mua
+
+
+def _kernel_fused_f(p, muw_ref, mua_ref, lxr_ref, lyr_ref, lthr_ref,
+                    ndx_ref, ndy_ref, crad_ref, cvalid_ref, stlp_ref,
+                    nf_ref, valid_ref, keep_ref, scal_ref, gvec_ref,
+                    outw_ref, outa_ref):
+    """Scene-folded freeze + Adam loop in one program (see _kernel_f)."""
+    st = dict(th0=scal_ref[0:1], v0=scal_ref[1:2],
+              beta=gvec_ref[0:1, 0:1], thres=gvec_ref[0:1, 1:2],
+              gscale=gvec_ref[0:1, 2:3])
+    geo = dict(lxr=lxr_ref[...], lyr=lyr_ref[...], lthr=lthr_ref[...],
+               ndx=ndx_ref[...], ndy=ndy_ref[...])
+    muw0, mua0 = muw_ref[...], mua_ref[...]
+    cns = _freeze_k(muw0, mua0, geo, st, p)
+    cns["crad"] = crad_ref[...]
+    cns["cvalid"] = cvalid_ref[...]
+    cns["stlp"] = stlp_ref[...]
+    cns["vf"] = nf_ref[0:1]
+    cns["df"] = nf_ref[1:2]
+    cns["sf"] = nf_ref[2:3]
+    cns["valid"] = valid_ref[...]
+    cns["is_keep"] = keep_ref[...]
+    muw, mua = _adam_loop(muw0, mua0, cns, st, p)
+    outw_ref[...] = muw
+    outa_ref[...] = mua
+
+
+def _fold(x):
+    """(bs, ..., R) -> (..., bs*R): scenes become extra lane columns."""
+    y = jnp.moveaxis(x, 0, -2)
+    return y.reshape(y.shape[:-2] + (y.shape[-2] * y.shape[-1],))
+
+
 def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
                      thres: float, cfg, interpret: bool = False,
                      fuse_freeze: bool = False):
@@ -441,6 +503,69 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
              clip_dist=bool(cfg.clip_dist),
              quirk=bool(cfg.guidance_positive_offset_quirk))
 
+    if fuse_freeze:
+        S = fused_loss.lxr.shape[1]
+        p.update(S=S, nLe=int(cfg.refined_nL), nLn=nLn,
+                 ego_L=float(cfg.ego_L), re=float(cfg.ego_W) / 2.0)
+
+    if getattr(cfg, "guidance_pallas_fold", True):
+        # scene-FOLDED dispatch: one program over (T, bs*R) tiles (all
+        # VPU ops bs x wider) instead of bs sequential grid programs;
+        # per-scene scalars broadcast along the folded column axis.
+        # cfg.guidance_pallas_cols > 0 chunks the columns over a grid
+        # (VMEM relief valve; must divide bs*R and be 128-divisible).
+        Rf = bs * R
+        cols = int(getattr(cfg, "guidance_pallas_cols", 0)) or Rf
+        grid_n = Rf // cols
+        bc = lambda x, sh: jnp.broadcast_to(x, sh)
+        muw_f, mua_f = _fold(muw), _fold(mua)               # (T, Rf)
+        crad_f = _fold(bc(crad_in, (bs, K, T, R)))          # (K, T, Rf)
+        cval_f = _fold(bc(cvalid_in, (bs, K, T, R)))
+        stlp_f = _fold(stlp_in)                             # (6, Rf)
+        nf_f = _fold(nf_in)                                 # (3, Rf)
+        valid_f = _fold(valid_in)                           # (1, Rf)
+        keep_f = _fold(keep_in)
+        scal_f = _fold(bc(jnp.swapaxes(scal_in, 1, 2),
+                          (bs, 2, R)))                      # (2, Rf)
+        colspec = lambda *lead: pl.BlockSpec(
+            lead + (cols,), lambda i: (0,) * len(lead) + (i,))
+        rep = lambda *shape: pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape))
+        tail_specs = [colspec(K, T), colspec(K, T), colspec(6), colspec(3),
+                      colspec(1), colspec(1), colspec(2), rep(1, 3)]
+        tail_ins = (crad_f, cval_f, stlp_f, nf_f, valid_f, keep_f,
+                    scal_f, gvec_in)
+        if fuse_freeze:
+            kern = functools.partial(_kernel_fused_f, p)
+            lxr_f, lyr_f, lthr_f = (_fold(g) for g in geo_ins[:3])
+            ndx_f = _fold(bc(geo_ins[3], (bs, K, nLn, T, R)))
+            ndy_f = _fold(bc(geo_ins[4], (bs, K, nLn, T, R)))
+            mid_specs = [colspec(S)] * 3 + [colspec(K, nLn, T)] * 2
+            mid_ins = [lxr_f, lyr_f, lthr_f, ndx_f, ndy_f]
+        else:
+            kern = functools.partial(_kernel_f, p)
+            mid_specs = [colspec(T)] * 7 + [colspec(K, T)] * 3
+            mid_ins = [_fold(x) for x in lane_ins + clear_ins]
+        # the folded working set exceeds Mosaic's default 16 MiB scoped
+        # VMEM (36.6M measured at Rf=3072); v5e has 128 MiB physical —
+        # raise the limit rather than serializing over a column grid
+        kwargs = {}
+        if not interpret:
+            from jax.experimental.pallas import tpu as pltpu
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+        outw, outa = pl.pallas_call(
+            kern,
+            grid=(grid_n,),
+            in_specs=[colspec(T), colspec(T)] + mid_specs + tail_specs,
+            out_specs=[colspec(T), colspec(T)],
+            out_shape=[jax.ShapeDtypeStruct((T, Rf), f32)] * 2,
+            interpret=interpret,
+            **kwargs,
+        )(muw_f, mua_f, *mid_ins, *tail_ins)
+        unfold = lambda x: jnp.moveaxis(x.reshape(T, bs, R), 1, 0)
+        return jnp.stack([unfold(outw), unfold(outa)], axis=2)
+
     spec = lambda *shape: pl.BlockSpec(
         (1,) + shape, lambda i: (i,) + (0,) * len(shape))
     rep = lambda *shape: pl.BlockSpec(
@@ -453,9 +578,6 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
     tail_ins = (crad_in, cvalid_in, stlp_in, nf_in, valid_in, keep_in,
                 scal_in, gvec_in)
     if fuse_freeze:
-        S = fused_loss.lxr.shape[1]
-        p.update(S=S, nLe=int(cfg.refined_nL), nLn=nLn,
-                 ego_L=float(cfg.ego_L), re=float(cfg.ego_W) / 2.0)
         kern = functools.partial(_kernel_fused, p)
         mid_specs = ([spec(S, R)] * 3                       # lane polylines
                      + [spec(K, nLn, T, 1)] * 2)            # neighbor discs

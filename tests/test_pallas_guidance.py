@@ -117,6 +117,27 @@ def test_flag_path_matches_default():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("fuse_freeze", [False, True])
+def test_fold_variants_match(fuse_freeze):
+    """Scene-folded dispatch (default), the legacy per-scene grid, and a
+    column-chunked fold all compute the identical guided mu — the fold
+    only re-lays out columns; gradients decouple per column."""
+    cfg, fused, mu = _setup(seed=7)
+    mu_cm = fused._to_cand_minor(mu)
+    frozen = None if fuse_freeze else fused.freeze_cm(mu_cm)
+    beta_t = jnp.asarray(0.02, jnp.float32)
+    run = lambda c: np.asarray(pallas_guidance.guidance_adam_cm(
+        fused, frozen, mu_cm, beta_t, 100.0, c, interpret=True,
+        fuse_freeze=fuse_freeze))
+    folded = run(cfg)
+    grid = run(cfg.with_(guidance_pallas_fold=False))
+    # R_fold = bs*M*3 = 24; cols=12 -> 2 grid programs (interpret mode
+    # skips the 128-divisibility rule, which is Mosaic-only)
+    chunked = run(cfg.with_(guidance_pallas_cols=12))
+    np.testing.assert_allclose(folded, grid, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(chunked, grid, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("norm_stl", [False, True])
 def test_fused_freeze_matches_xla(norm_stl):
     """guidance_pallas_fuse_freeze: the in-kernel where-chain freeze must
