@@ -29,10 +29,11 @@ Mosaic-friendliness rules baked in (see ops/pallas_kernels.py):
   split is computed for ALL R columns and blended with a (1, R)
   ``is_keep`` mask instead of slicing R at M.
 
-Like the clearance kernel, Mosaic cannot compile this in the build
-container (45-min probe, docs/PERF.md "Pallas status"); it ships
-interpret-tested behind ``cfg.guidance_pallas`` for toolchains with a
-working Mosaic.
+Compiles on TPU in ~30 s (the historical "Mosaic hang" was a BlockSpec
+constraint on a 2-D per-scene scalar operand — docs/PERF.md "Pallas
+status") and ships as the bench default behind ``cfg.guidance_pallas`` /
+``cfg.guidance_pallas_fuse_freeze``; every variant is also
+equality-tested in interpret mode (tests/test_pallas_guidance.py).
 
 Reference semantics: guidance loop nusc_train.py:599-627.
 """

@@ -23,6 +23,12 @@ cfg = Config(diffusion=True, rect_head=True, diverse_loss=True,
              flex=True).finalize().with_(epochs=1, test=True)
 if not os.environ.get("P_EXACT_SEL"):    # mirror bench.py's default
     cfg = cfg.with_(guidance_reuse_selection=True)
+gp = os.environ.get("P_GPALLAS", "2")    # mirror bench.py's default
+if gp != "0":
+    cfg = cfg.with_(
+        guidance_pallas=True,
+        guidance_pallas_fuse_freeze=gp.startswith("2"),
+        guidance_pallas_fold=gp.endswith("f")).finalize()
 if os.environ.get("BENCH_GEOM_DTYPE"):
     cfg = cfg.with_(geometry_dtype=os.environ["BENCH_GEOM_DTYPE"])
 if os.environ.get("BENCH_ROB_DTYPE"):
