@@ -151,6 +151,17 @@ def _refresh_schedule(trig: np.ndarray, k: int) -> np.ndarray:
 _normal = jax.random.normal
 
 
+def _warm_pallas(guidance_ctx, cfg: Config) -> None:
+    """Precompute the denoise-step-invariant Pallas kernel operands OUTSIDE
+    the reverse scan so they become loop constants (the round-3 trace
+    showed their layout copies re-running in the while body every step —
+    docs/PERF.md).  No-op off the Pallas path."""
+    if (cfg.guidance_pallas and guidance_ctx is not None
+            and len(guidance_ctx) > 3 and guidance_ctx[3] is not None):
+        from pstl_tpu.ops import pallas_guidance as pg
+        pg.warm_invariants(guidance_ctx[3], cfg)
+
+
 def _guidance_step(mu: Array, beta_t: Array, ctx, cfg: Config,
                    maximize: bool, frozen=None, mu_cm=None,
                    cm_io: bool = False) -> Array:
@@ -281,6 +292,8 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
     always_guided = use_guidance and bool(trig_np.all())
     trig = jnp.asarray(trig_np)
     k_init, k_loop = jax.random.split(key)
+    if use_guidance:
+        _warm_pallas(guidance_ctx, cfg)
 
     # guidance_sel_every > 1: carry the frozen argmin selections across
     # denoise steps, refreshing every k-th guided step (staleness stays
@@ -397,6 +410,8 @@ def reverse_sample_ddim(key: Array, apply_fn: Callable,
     taus = np.linspace(T - 1, 1, S).round().astype(np.int32)
     taus_next = np.concatenate([taus[1:], [0]]).astype(np.int32)
     use_guidance = guidance_ctx is not None and cfg.guidance
+    if use_guidance:
+        _warm_pallas(guidance_ctx, cfg)
     k_init, k_loop = jax.random.split(key)
     x0 = constrain_candidates(jax.random.normal(k_init, (n, cfg.nt * 2)), 0)
     if mono:
@@ -456,6 +471,8 @@ def reverse_sample_dpmpp(key: Array, apply_fn: Callable,
     S = min(cfg.ddim_steps, T - 1)
     taus = np.linspace(T - 1, 1, S).round().astype(np.int32)
     use_guidance = guidance_ctx is not None and cfg.guidance
+    if use_guidance:
+        _warm_pallas(guidance_ctx, cfg)
     k_init, _ = jax.random.split(key)
     x0 = constrain_candidates(jax.random.normal(k_init, (n, cfg.nt * 2)), 0)
     if mono:
