@@ -92,21 +92,24 @@ def _softmin_rows(rows, tau):
 def _ev_alw(g, tau, nt2: int):
     """Eventually(Always) over T: (T, R) -> (1, R).
 
-    suffix[t] = softmin_{s>=t} g[s] via an unrolled stable ``logaddexp``
-    backward recurrence (T = 20 is static and tiny; each step is one
-    elementwise op on a (1, R) row — a global-max matmul trick underflows
-    at tau = 100), then softmax over the first nt2 rows.
+    suffix[t] = softmin_{s>=t} g[s] via a ceil(log2(T))-step Hillis-Steele
+    doubling scan over full (T, R) tiles (``logaddexp`` is associative and
+    commutative; -1e30 is an exact fp32 identity for it), then softmax over
+    the first nt2 rows.  The doubling scan replaces the round-3 T-1-step
+    backward recurrence of latency-bound (1, R)-row ops: 5 full-tile steps
+    for T = 20, with the forward AND its autodiff transpose both short
+    dependency chains.  (A global-max matmul trick underflows at tau = 100,
+    hence log-space shifts rather than one exp/cumsum/log pass.)  Identical
+    math, fp association order differs ~1e-6 (equality tests use 2e-4).
     """
     T = g.shape[0]
-    x = -g * tau                                           # (T, R)
-    s = x[T - 1:T]                                         # (1, R)
-    rows = [s]
-    for t in range(T - 2, -1, -1):
-        s = jnp.logaddexp(x[t:t + 1], s)
-        rows.append(s)
-    rows.reverse()                                         # rows[t] = lse_{s>=t}
-    suffix = jnp.concatenate(rows[:nt2], axis=0)           # (nt2, R)
-    return _lse0(-suffix) / tau
+    s = -g * tau                                           # (T, R)
+    k = 1
+    while k < T:
+        pad = jnp.full((k,) + s.shape[1:], -1e30, s.dtype)
+        s = jnp.logaddexp(s, jnp.concatenate([s[k:], pad], axis=0))
+        k *= 2
+    return _lse0(-s[:nt2]) / tau
 
 
 def _rollout_k(muw, mua, st, p):
@@ -489,7 +492,20 @@ def warm_invariants(fused_loss, cfg) -> None:
     a conditional refresh could hand a later re-trace of the same loss
     object stale tracers from a dead trace."""
     key = bool(cfg.guidance_pallas_fuse_freeze)
-    fused_loss._pallas_inv = (key, pallas_invariants(fused_loss, cfg, key))
+    inv = pallas_invariants(fused_loss, cfg, key)
+    # pin the invariant arrays as materialized values: without the
+    # barrier XLA re-fuses their layout-change + multiply-add producers
+    # into the reverse-scan while body (LICM does not hoist fusions that
+    # only feed the Pallas custom-call's operand copies), re-executing
+    # them every denoise step — 1.4 ms/plan at bs=16 in the round-3
+    # trace (multiply_add_fusion on the (bs,K,nLn,T,1) disc tensors)
+    leaves, treedef = jax.tree_util.tree_flatten(inv)
+    arrs = [i for i, v in enumerate(leaves) if isinstance(v, jax.Array)]
+    pinned = jax.lax.optimization_barrier([leaves[i] for i in arrs])
+    for i, v in zip(arrs, pinned):
+        leaves[i] = v
+    inv = jax.tree_util.tree_unflatten(treedef, leaves)
+    fused_loss._pallas_inv = (key, inv)
 
 
 def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
