@@ -71,6 +71,12 @@ class Config:
     generate_split_on_the_fly: bool = False
     synthetic: bool = True        # TPU build: synthetic scene source by default
     n_synth_scenes: int = 512     # synthetic dataset size
+    # fraction of synthetic scenes generated in a LOW-SPEED regime
+    # (v0 in [0.3, 3) m/s, target speed may approach 0): training coverage
+    # for the near-stop states where the strict raw-Euler env used to go
+    # out-of-distribution (round-1 reversal-depth OOL root cause).
+    # 0 = round-1..3 data distribution
+    synth_low_speed_frac: float = 0.0
 
     # ---- trajopt augmentation ---------------------------------------------
     trajopt_only: bool = False
@@ -82,6 +88,12 @@ class Config:
     # this many independent flex-stlp draws (training redraws stlp per
     # epoch, so 1 draw overfits; see trajopt.trajopt_loss).  1 = reference
     trajopt_robust_draws: int = 4
+    # beyond-reference: hinge weight on negative rollout speed in the
+    # trajopt oracle loss — keeps augmented controls from braking past
+    # v=0 (the unicycle Euler integrator would reverse), so the policy
+    # never LEARNS reversal and the strict raw-Euler env (no forward
+    # shield) stays in-distribution.  0 = reference loss exactly
+    trajopt_nonneg_speed: float = 0.0
 
     # ---- model modes -------------------------------------------------------
     stl_weight: float = 1.0
@@ -149,6 +161,11 @@ class Config:
     # and diversity (0.087 acc, 2.7x hull volume) — so the fix is the
     # default; set True for strict reference parity.
     guidance_positive_offset_quirk: bool = False
+    # reverse-pass noise temperature (beyond-reference diversity lever):
+    # scales the fresh-noise injection sigma = sqrt(beta_t) in the DDPM
+    # ancestral sampler (and the DDIM eta-noise).  1.0 = reference
+    # semantics; >1 trades a little compliance for sample entropy
+    sample_noise_scale: float = 1.0
 
     # ---- losses extras ------------------------------------------------------
     collision_loss: Optional[float] = None    # TrafficSim-style
@@ -162,6 +179,10 @@ class Config:
     raw_refinement: bool = False
     lite_refine: bool = False
     backup: bool = False
+    # backup controller Adam budget — reference solve_bak uses 500
+    # (nusc_sim.py:762); rounds 1-3 silently ran 100 (now a documented
+    # knob, default = reference parity)
+    backup_niters: int = 500
     # Closed-loop selection shield (beyond-reference): penalize candidates
     # whose rollout speed goes negative by the reversal depth — "reversing
     # by braking past zero" is a unicycle-integrator artifact that puts the
@@ -348,6 +369,42 @@ class Config:
 
     def with_(self, **kw) -> "Config":
         return replace(self, **kw)
+
+    def ref_parity(self, open_loop: bool = False) -> "Config":
+        """One-switch FULL reference-parity bundle: revert every documented
+        intentional deviation at once (VERDICT r3 #4).
+
+        Reverted deviations (see docs/ARCHITECTURE.md "Intentional
+        deviations" for the A/B evidence behind each default):
+
+        - ``guidance_positive_offset_quirk=True`` — the always-positive
+          guidance delta clamp (nusc_train.py:624-626);
+        - ``forward_shield=False`` — no reversal-depth selection penalty;
+        - ``env_nonnegative_speed=False`` — raw Euler env, speed may go
+          negative (nusc_sim.py:118);
+        - ``backup_niters=500`` — solve_bak's budget (nusc_sim.py:762);
+        - ``sample_noise_scale=1.0`` — no sampler temperature;
+        - the README guidance schedule: last 10 denoise steps, 1 Adam
+          iteration, lr 0.01 open-loop (README.md:115) / 0.04 closed-loop
+          (README.md:175), multi_cands 10 / 5.
+
+        Training-recipe parity (the DPP-only e7 loss, stl_weight=0) is a
+        property of the checkpoint, not the eval config — use the
+        ``e7_ours`` preset as-is to train it (the "ref-exact recipe" rows
+        of docs/RESULTS.md).
+        """
+        c = self.with_(
+            guidance_positive_offset_quirk=True,
+            forward_shield=False,
+            env_nonnegative_speed=False,
+            backup_niters=500,
+            sample_noise_scale=1.0,
+        )
+        if self.guidance:
+            c = c.with_(guidance_before=10, guidance_niters=1,
+                        guidance_lr=0.01 if open_loop else 0.04,
+                        multi_cands=10 if open_loop else 5)
+        return c
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)

@@ -138,8 +138,15 @@ def generate_scene(rng: np.random.RandomState, cfg: Config,
     else:
         hl = 3
 
-    v0 = rng.uniform(2.0, 9.0)
-    v_target = np.clip(v0 + rng.uniform(-1.5, 1.5), 1.0, 10.0)
+    if rng.rand() < cfg.synth_low_speed_frac:
+        # low-speed regime: near-stop starts and targets that may brake
+        # to (but never through) zero — coverage for the states where the
+        # strict raw-Euler env used to reverse out of distribution
+        v0 = rng.uniform(0.3, 3.0)
+        v_target = np.clip(v0 + rng.uniform(-2.5, 1.5), 0.0, 4.0)
+    else:
+        v0 = rng.uniform(2.0, 9.0)
+        v_target = np.clip(v0 + rng.uniform(-1.5, 1.5), 1.0, 10.0)
     s0 = np.array([center[2, 0], center[2, 1], center[2, 2]
                    + rng.uniform(-0.05, 0.05), v0])
 

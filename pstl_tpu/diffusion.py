@@ -368,7 +368,7 @@ def reverse_sample(key: Array, apply_fn: Callable, batch: Dict[str, Array],
                 mu, frozen = jax.lax.cond(
                     triggered, guided, lambda m, f: (m, f), mu, frozen)
         z = jnp.where(t_scalar > 1, _normal(k_z, x.shape), 0.0)
-        x_next = mu + jnp.sqrt(beta) * z
+        x_next = mu + cfg.sample_noise_scale * jnp.sqrt(beta) * z
         new_carry = (x_next, k, frozen) if carry_sel else (x_next, k)
         return new_carry, (x_next if cfg.diff_full else None)
 
@@ -439,7 +439,7 @@ def reverse_sample_ddim(key: Array, apply_fn: Callable,
             beta = coeffs.beta[t]
             mu = _guidance_step(mu, beta, guidance_ctx, cfg, maximize)
         z = jnp.where(t_next > 0, jax.random.normal(k_z, x.shape), 0.0)
-        x_next = mu + sigma * z
+        x_next = mu + cfg.sample_noise_scale * sigma * z
         return (x_next, k), (x_next if cfg.diff_full else None)
 
     (x_last, _), xs_hist = jax.lax.scan(step, (x0, k_loop),

@@ -21,8 +21,10 @@ VJP to maintain.
 Mosaic-friendliness rules baked in (see ops/pallas_kernels.py):
 - no captured array constants / 1-D vectors: triangular cumsum matrices
   are built from 2-D ``broadcasted_iota`` inside the kernel;
-- rollout cumsums and the reverse cumulative logsumexp ride (T, T) x
-  (T, R) matmuls (MXU) instead of scans;
+- rollout cumsums ride (T, T) x (T, R) matmuls (MXU) instead of scans;
+  the reverse cumulative logsumexp in ``_ev_alw`` is a ceil(log2(T))-step
+  Hillis-Steele ``logaddexp`` doubling scan over full (T, R) tiles (a
+  global-max matmul formulation underflows at tau=100);
 - every reduction is over the LEADING axis of a 2-D (T, R) tile with
   keepdims=True (never a middle axis, never producing 1-D);
 - no lane-dim slicing at non-128 boundaries: the keep/change maneuver
@@ -100,7 +102,8 @@ def _ev_alw(g, tau, nt2: int):
     for T = 20, with the forward AND its autodiff transpose both short
     dependency chains.  (A global-max matmul trick underflows at tau = 100,
     hence log-space shifts rather than one exp/cumsum/log pass.)  Identical
-    math, fp association order differs ~1e-6 (equality tests use 2e-4).
+    math; fp association order differs up to ~1e-4 in the worst case
+    (small tau, e.g. tau=1; 0 at tau=100 — equality tests use 2e-4).
     """
     T = g.shape[0]
     s = -g * tau                                           # (T, R)

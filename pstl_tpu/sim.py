@@ -404,8 +404,15 @@ def _apply_backup(u0: Array, info: Dict[str, Array], obs: Dict[str, Array],
                   cfg: Config) -> Array:
     """Batched backup safety controller (nusc_sim.py:686-708): when the
     chosen plan's 2-step-ahead clearance to any predicted neighbor drops
-    below D_SAFE, solve a short control-residual optimization to restore it
-    and apply the corrected first control."""
+    below D_SAFE, solve a control-residual optimization to restore it and
+    apply the corrected first control.
+
+    Reference semantics (nusc_sim.py:689-705): loop neighbors in slot
+    order, repair against the FIRST valid neighbor whose clearance is
+    unsafe, then break.  Batched equivalent: per-neighbor clearance test,
+    ``argmax`` of the unsafe mask = first-True slot index.  The Adam
+    budget comes from ``cfg.backup_niters`` (reference: 500,
+    nusc_sim.py:762)."""
     from pstl_tpu import refine
     plan_traj = info["plan_traj"]                    # (bs, nt+1, 4)
     nei = obs["neighbor_trajs_aug"]                  # (bs, K, nt, 7)
@@ -418,20 +425,20 @@ def _apply_backup(u0: Array, info: Dict[str, Array], obs: Dict[str, Array],
         plan_traj[:, None, 2, :3], cfg.ego_L, cfg.ego_W,
         nei[:, :, 2, 1:4], nei[:, :, 2, 5], nei[:, :, 2, 6],
         cfg.refined_nL, cfg.refined_nW)              # (bs, K)
-    masked = (jnp.clip(clear, -5, 20) * nei[:, :, 2, 0]
-              + (1 - nei[:, :, 2, 0]) * 100.0)
-    unsafe = jnp.min(masked, axis=-1) < D_SAFE       # (bs,)
+    # per-neighbor unsafe test, exactly the reference's per-ni check:
+    # valid slot AND clipped clearance below D_SAFE
+    unsafe_k = (nei[:, :, 2, 0] > 0.5) & (jnp.clip(clear, -5, 20) < D_SAFE)
+    unsafe = jnp.any(unsafe_k, axis=-1)              # (bs,)
 
-    # nearest predicted neighbor per scene drives the residual
-    d0 = jnp.where(nei[:, :, 2, 0] > 0.5,
-                   jnp.linalg.norm(nei[:, :, 2, 1:3]
-                                   - plan_traj[:, None, 2, :2], axis=-1),
-                   1e9)
-    j = jnp.argmin(d0, axis=-1)
+    # first unsafe neighbor slot drives the residual (argmax of a bool
+    # mask returns the first True; rows with no unsafe slot pick 0 but
+    # their correction is discarded by the `unsafe` where below)
+    j = jnp.argmax(unsafe_k, axis=-1)
     nei_sel = jnp.take_along_axis(
         nei, j[:, None, None, None], axis=1)[:, 0]   # (bs, nt, 7)
     u_res = jax.vmap(lambda pt, uu, nn: refine.solve_backup(
-        pt[None, 0:3], uu[None], nn[None, 0:3], cfg, n_iters=100))(
+        pt[None, 0:3], uu[None], nn[None, 0:3], cfg,
+        n_iters=cfg.backup_niters))(
         plan_traj, u01, nei_sel)                     # (bs, 2, 2)
     u_corr = u01[:, 0] + u_res[:, 0]
     return jnp.where(unsafe[:, None], u_corr, u0)

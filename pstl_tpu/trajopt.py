@@ -73,6 +73,12 @@ def trajopt_loss(params: Array, states_flat: Array,
            + jnp.mean(jax.nn.relu(params[..., 1] ** 2 - cfg.mul_a_max ** 2))
            ) * cfg.reg_loss
     loss = dense_loss + reg
+    if cfg.trajopt_nonneg_speed:
+        # keep the oracle from braking past v=0 (reversal is an Euler
+        # integrator artifact the strict env executes literally); squared
+        # hinge so grads scale with reversal depth
+        loss = loss + cfg.trajopt_nonneg_speed * jnp.mean(
+            jnp.square(jax.nn.relu(-trajs[..., 3])))
     return loss, {"dense_loss": dense_loss, "reg_loss": reg,
                   "scores": scores, "trajs": trajs}
 

@@ -12,7 +12,10 @@ Usage:
 --cache runs the episodes on an extracted scene cache instead of fresh
 synthetic scenes; --strict reports the reference-exact-semantics row
 (forward_shield=False, env_nonnegative_speed=False — nusc_sim.py:118 lets
-speed go negative and applies no reversal shield).
+speed go negative and applies no reversal shield); --ref-parity applies
+the FULL one-switch parity bundle (Config.ref_parity: strict semantics +
+guidance quirk + README closed-loop guidance schedule + backup budget);
+--backup enables the backup safety controller (solve_bak A/B row).
 """
 
 import json
@@ -39,6 +42,8 @@ def main():
     ckpt = sys.argv[1] if len(sys.argv) > 1 else "exps/e2e_v2/models"
     guidance = "--guidance" in sys.argv
     strict = "--strict" in sys.argv
+    ref_parity = "--ref-parity" in sys.argv
+    backup = "--backup" in sys.argv
     cache = None
     if "--cache" in sys.argv:
         cache = sys.argv[sys.argv.index("--cache") + 1]
@@ -48,10 +53,18 @@ def main():
                  multi_cands=10, **base).finalize().with_(
                      epochs=1, test=True, n_rolls=3,
                      guidance=guidance, guidance_niters=3)
+    if os.environ.get("CL_NOISE_SCALE"):
+        cfg = cfg.with_(
+            sample_noise_scale=float(os.environ["CL_NOISE_SCALE"]))
     if strict:
         # reference-exact step semantics (nusc_sim.py:118): no reversal
         # shield, speed may go negative
         cfg = cfg.with_(forward_shield=False, env_nonnegative_speed=False)
+    if ref_parity:
+        # the full one-switch deviation-reverting bundle (VERDICT r3 #4)
+        cfg = cfg.ref_parity(open_loop=False)
+    if backup:
+        cfg = cfg.with_(backup=True)
 
     if cache:
         data = dict(np.load(cache, allow_pickle=False))
@@ -84,6 +97,8 @@ def main():
     result = {
         "variant": ("ours_guidance" if guidance else "ours")
                    + ("_strict" if strict else "")
+                   + ("_refparity" if ref_parity else "")
+                   + ("_backup" if backup else "")
                    + ("_cache" if cache else ""),
         "compliance": round(float(out["stl_acc"].mean()), 4),
         "area": round(float(out["area"]), 4),

@@ -357,3 +357,30 @@ def test_cm_sampler_layout_parity(monkeypatch):
         guidance_ctx=ctx, maximize=True, cm_fn=cm_fn)
     np.testing.assert_allclose(np.asarray(c2_cm), np.asarray(c2_mm),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sample_noise_scale():
+    """sample_noise_scale is a pure temperature on the injected noise:
+    scale=1 reproduces the default path bit-for-bit; scale=0 makes the
+    ancestral sampler deterministic given x0 (mu-only updates); scale>1
+    spreads the samples (larger pairwise distances on average)."""
+    cfg = small_cfg()
+    (apply_fn, dense, feature, states_flat, coeffs, formulas, signal_base,
+     ctx, n) = make_sampler_setup(cfg)
+
+    def run(scale, key=7):
+        c, _ = diffusion.reverse_sample(
+            jax.random.PRNGKey(key), apply_fn, dense,
+            dense["highlevel_dense"], feature,
+            cfg.with_(sample_noise_scale=scale), coeffs, n)
+        return np.asarray(c)
+
+    np.testing.assert_allclose(run(1.0), run(1.0000001), atol=1e-5)
+    base = run(1.0)
+    hot = run(2.5)
+    assert np.abs(hot - base).max() > 1e-4
+    # temperature raises candidate spread (diversity proxy)
+    def spread(c):
+        flat = c.reshape(n, -1)
+        return float(np.linalg.norm(flat[:, None] - flat[None], axis=-1).mean())
+    assert spread(hot) > spread(run(0.0))

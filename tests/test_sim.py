@@ -179,3 +179,77 @@ def test_rasterize_corridor_matches_analytic():
     assert drivable(30.0, 3.5 + 2.0)         # within the LEFT lane corridor
     assert not drivable(30.0, -3.5 - 2.0)    # right lane INVALID
     assert not drivable(30.0, 3.5 + 3.25 + 1.0)  # beyond left corridor
+
+
+def test_apply_backup_first_unsafe_neighbor(monkeypatch):
+    """Reference parity (nusc_sim.py:689-705): the backup controller
+    repairs against the FIRST valid neighbor whose 2-step-ahead clearance
+    is unsafe (slot order), not the nearest; safe scenes keep their plan;
+    the Adam budget comes from cfg.backup_niters."""
+    from pstl_tpu import refine
+    cfg = sim_cfg().with_(backup=True, backup_niters=7)
+    bs, K, nt = 2, 3, cfg.nt
+    v = 2.0
+    ts = np.arange(nt + 1) * cfg.dt
+    plan = np.zeros((bs, nt + 1, 4), np.float32)
+    plan[:, :, 0] = v * ts
+    plan[:, :, 3] = v
+    px = plan[0, 2, 0]                       # plan x at step 2
+
+    nei = np.zeros((bs, K, nt, 7), np.float32)
+    nei[:, :, :, 0] = 1.0                    # all slots valid
+    nei[:, :, :, 5] = 4.0                    # L
+    nei[:, :, :, 6] = 2.0                    # W
+    # scene 0: slot 0 safe (far), slots 1 AND 2 unsafe at distinct poses
+    nei[0, 0, :, 1] = 100.0
+    nei[0, 1, :, 1] = px + 1.0
+    nei[0, 2, :, 1] = px - 1.0
+    nei[0, 2, :, 2] = 0.5
+    # scene 1: everything far away (safe)
+    nei[1, :, :, 1] = 200.0
+
+    seen = {}
+
+    def fake_solve_backup(pt, uu, nn, cfg_, n_iters):
+        seen["n_iters"] = n_iters
+        # encode the repaired-against neighbor's x so the test can tell
+        # WHICH slot drove the residual
+        return jnp.full((2, 2), nn[0, 2, 1])
+
+    monkeypatch.setattr(refine, "solve_backup", fake_solve_backup)
+    u0 = jnp.ones((bs, 2))
+    info = {"plan_traj": jnp.asarray(plan)}
+    obs = {"neighbor_trajs_aug": jnp.asarray(nei)}
+    out = np.asarray(sim._apply_backup(u0, info, obs, cfg))
+
+    assert seen["n_iters"] == 7              # cfg.backup_niters honored
+    # scene 0: corrected control = u01[:,0] (zeros: straight constant-v
+    # plan) + residual encoding slot 1's x — the FIRST unsafe slot, even
+    # though slot 2 is closer to the plan point
+    np.testing.assert_allclose(out[0], np.full(2, px + 1.0), atol=1e-5)
+    # scene 1 safe: plan untouched
+    np.testing.assert_allclose(out[1], np.ones(2), atol=1e-6)
+
+
+def test_ref_parity_bundle():
+    """Config.ref_parity flips every documented deviation at once
+    (VERDICT r3 #4)."""
+    cfg = sim_cfg(guidance=True).with_(
+        forward_shield=True, env_nonnegative_speed=True,
+        sample_noise_scale=1.3, backup_niters=100)
+    p = cfg.ref_parity(open_loop=False)
+    assert p.guidance_positive_offset_quirk
+    assert not p.forward_shield
+    assert not p.env_nonnegative_speed
+    assert p.backup_niters == 500
+    assert p.sample_noise_scale == 1.0
+    # README closed-loop guidance schedule (README.md:175)
+    assert (p.guidance_before, p.guidance_niters, p.guidance_lr,
+            p.multi_cands) == (10, 1, 0.04, 5)
+    # open-loop flavor (README.md:115)
+    po = cfg.ref_parity(open_loop=True)
+    assert (po.guidance_before, po.guidance_niters, po.guidance_lr,
+            po.multi_cands) == (10, 1, 0.01, 10)
+    # no guidance => schedule untouched
+    pn = sim_cfg(guidance=False).ref_parity()
+    assert pn.guidance_before == sim_cfg().guidance_before
