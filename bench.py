@@ -55,7 +55,9 @@ def main():
     # for the XLA loop (docs/PERF.md round 3) — shipped default.
     # BENCH_GPALLAS=0 reverts to the XLA candidate-minor loop,
     # =1 frozen-payload kernel, =2 fuse_freeze (same as default),
-    # =1f/=2f the scene-folded variants.
+    # =1f/=2f the scene-folded variants, =3 the round-4 column-grid
+    # fold2 kernel (in-kernel MXU scene broadcast; BENCH_COLS sets the
+    # chunk width, 0 = auto).
     gp = os.environ.get("BENCH_GPALLAS", "2")
     if gp != "0":
         # re-finalize: guidance_pallas couples reuse_selection/fused_loss
@@ -63,6 +65,8 @@ def main():
             guidance_pallas=True,
             guidance_pallas_fuse_freeze=gp.startswith("2"),
             guidance_pallas_fold=gp.endswith("f"),
+            guidance_pallas_fold2=gp.startswith("3"),
+            guidance_pallas_cols=int(os.environ.get("BENCH_COLS", "0")),
         ).finalize()
     # frozen argmin selections across the per-step Adam iterations:
     # measured 242.2 vs 213.3 steps/s (1.135x) metric-neutral (compliance

@@ -290,6 +290,13 @@ class Config:
     # chunk the folded columns over a grid of programs (VMEM relief
     # valve); 0 = one program.  Must divide bs*R and be 128-divisible
     guidance_pallas_cols: int = 0
+    # round-4 batch-scaling kernel (_kernel_fused_f2): scene-folded
+    # fuse_freeze with a COLUMN-CHUNK grid (pipelined DMA) and the
+    # per-scene constants broadcast IN-KERNEL via an MXU scene-selector
+    # matmul instead of pre-broadcast HBM streams (the round-3 fold's
+    # loss mode).  guidance_pallas_cols sets the chunk width (default
+    # min(bs*R, 1536)).  Implies guidance_pallas_fuse_freeze.
+    guidance_pallas_fold2: bool = False
     pallas_interpret: bool = False            # run Pallas kernels interpreted
     # serve training batches from the C++ mmap shard store (thread-pool
     # gather + double-buffered prefetch) instead of numpy slicing — the
@@ -350,7 +357,10 @@ class Config:
         upd["offline"] = not c.collect_data
         if c.test or upd.get("test"):
             upd["epochs"] = 1
-        if c.guidance_pallas_fuse_freeze:
+        if c.guidance_pallas_fold2:
+            upd["guidance_pallas_fuse_freeze"] = True
+        if c.guidance_pallas_fuse_freeze or upd.get(
+                "guidance_pallas_fuse_freeze"):
             upd["guidance_pallas"] = True
             if c.guidance_sel_every != 1:
                 raise ValueError(

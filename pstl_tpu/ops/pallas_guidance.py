@@ -208,8 +208,9 @@ def _freeze_k(muw0, mua0, geo, st, p):
     mean, as static where-chains instead of one-hot einsums — mirrors
     specs.CandMinorGuidanceLoss._lane_select / _clear_select (fp32).
 
-    geo: lxr/lyr/lthr (S, R), ndx/ndy (K, nLn, T, 1).  Ties resolve to
-    the EARLIEST index (strict <), matching jnp.argmin.
+    geo: lxr/lyr/lthr (S, R); ndx/ndy nested lists [k][nn] of (T, 1) or
+    (T, C) tiles.  Ties resolve to the EARLIEST index (strict <),
+    matching jnp.argmin.
     Returns the cns payload entries the Adam loop consumes.
     """
     S, K, nLn = p["S"], p["K"], p["nLn"]
@@ -255,8 +256,8 @@ def _freeze_k(muw0, mua0, geo, st, p):
             exd = x_s + axe_e * cth
             eyd = y_s + axe_e * sth
             for nn in range(nLn):
-                ndx = geo["ndx"][k, nn]                      # (T, 1)
-                ndy = geo["ndy"][k, nn]
+                ndx = geo["ndx"][k][nn]                      # (T, 1|C)
+                ndy = geo["ndy"][k][nn]
                 d2 = (exd - ndx) ** 2 + (eyd - ndy) ** 2
                 better = d2 < best2
                 best2 = jnp.where(better, d2, best2)
@@ -353,8 +354,12 @@ def _kernel_fused(p, muw_ref, mua_ref, lxr_ref, lyr_ref, lthr_ref,
     st = dict(th0=scal_ref[0, :, 0:1], v0=scal_ref[0, :, 1:2],
               beta=gvec_ref[0:1, 0:1], thres=gvec_ref[0:1, 1:2],
               gscale=gvec_ref[0:1, 2:3])
+    ndx_a, ndy_a = ndx_ref[0], ndy_ref[0]
     geo = dict(lxr=lxr_ref[0], lyr=lyr_ref[0], lthr=lthr_ref[0],
-               ndx=ndx_ref[0], ndy=ndy_ref[0])
+               ndx=[[ndx_a[k, nn] for nn in range(ndx_a.shape[1])]
+                    for k in range(ndx_a.shape[0])],
+               ndy=[[ndy_a[k, nn] for nn in range(ndy_a.shape[1])]
+                    for k in range(ndy_a.shape[0])])
     muw0, mua0 = muw_ref[0], mua_ref[0]
     cns = _freeze_k(muw0, mua0, geo, st, p)
     cns["crad"] = crad_ref[0]
@@ -409,8 +414,12 @@ def _kernel_fused_f(p, muw_ref, mua_ref, lxr_ref, lyr_ref, lthr_ref,
     st = dict(th0=scal_ref[0:1], v0=scal_ref[1:2],
               beta=gvec_ref[0:1, 0:1], thres=gvec_ref[0:1, 1:2],
               gscale=gvec_ref[0:1, 2:3])
+    ndx_a, ndy_a = ndx_ref[...], ndy_ref[...]
     geo = dict(lxr=lxr_ref[...], lyr=lyr_ref[...], lthr=lthr_ref[...],
-               ndx=ndx_ref[...], ndy=ndy_ref[...])
+               ndx=[[ndx_a[k, nn] for nn in range(ndx_a.shape[1])]
+                    for k in range(ndx_a.shape[0])],
+               ndy=[[ndy_a[k, nn] for nn in range(ndy_a.shape[1])]
+                    for k in range(ndy_a.shape[0])])
     muw0, mua0 = muw_ref[...], mua_ref[...]
     cns = _freeze_k(muw0, mua0, geo, st, p)
     cns["crad"] = crad_ref[...]
@@ -421,6 +430,71 @@ def _kernel_fused_f(p, muw_ref, mua_ref, lxr_ref, lyr_ref, lthr_ref,
     cns["sf"] = nf_ref[2:3]
     cns["valid"] = valid_ref[...]
     cns["is_keep"] = keep_ref[...]
+    muw, mua = _adam_loop(muw0, mua0, cns, st, p)
+    outw_ref[...] = muw
+    outa_ref[...] = mua
+
+
+def _kernel_fused_f2(p, muw_ref, mua_ref, lxr_ref, lyr_ref, lthr_ref,
+                     ndxc_ref, ndyc_ref, cradc_ref, cvalc_ref, stlp_ref,
+                     nf_ref, valid_ref, scalc_ref, gvec_ref, outw_ref,
+                     outa_ref):
+    """Scene-folded freeze + Adam with COLUMN-GRID pipelining and IN-KERNEL
+    scene broadcast (the round-4 batch-scaling kernel).
+
+    The round-3 folded variants lost to the per-scene grid because (a)
+    ``grid=(1,)`` has no DMA/compute overlap and (b) the per-scene
+    constants (neighbor discs, radii, validity, th0/v0) were
+    pre-broadcast along the folded column axis and streamed from HBM
+    every denoise step (~20 MB/step at bs=16).  This kernel instead:
+
+    - runs a 1-D grid over COLUMN CHUNKS of the folded (T, bs*R) layout,
+      so chunk i+1's DMA overlaps chunk i's compute;
+    - receives the per-scene constants COMPACT (last dim = bs) as
+      replicated blocks (fetched once, resident across all grid steps)
+      and broadcasts them to (rows, C) inside the kernel with one MXU
+      matmul against a scene-selector built from 2-D iotas:
+      sel[b, c] = (global_col(c) // R == b);
+    - builds the is_keep mask from the same iota (col % R < M) instead
+      of streaming it.
+
+    Per-ROW data (mu, lanes, stlp, norm factors, validity) genuinely
+    differs per column and streams in column chunks like before.
+    """
+    i = pl.program_id(0)
+    C = muw_ref.shape[-1]
+    bs, R, M = p["bs"], p["R"], p["M"]
+    K, nLn = p["K"], p["nLn"]
+    f32 = jnp.float32
+
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (bs, C), 0)
+    col_b = jax.lax.broadcasted_iota(jnp.int32, (bs, C), 1) + i * C
+    sel = (col_b // R == row_b).astype(f32)                 # (bs, C)
+    bcast = lambda m: jax.lax.dot(m.astype(f32), sel,
+                                  precision=jax.lax.Precision.HIGHEST)
+
+    ndxc, ndyc = ndxc_ref[...], ndyc_ref[...]               # (K, nLn, T, bs)
+    cradc, cvalc = cradc_ref[...], cvalc_ref[...]           # (K, T, bs)
+    scalc = scalc_ref[...]                                  # (2, bs)
+    st = dict(th0=bcast(scalc[0:1]), v0=bcast(scalc[1:2]),  # (1, C)
+              beta=gvec_ref[0:1, 0:1], thres=gvec_ref[0:1, 1:2],
+              gscale=gvec_ref[0:1, 2:3])
+    geo = dict(lxr=lxr_ref[...], lyr=lyr_ref[...], lthr=lthr_ref[...],
+               ndx=[[bcast(ndxc[k, nn]) for nn in range(nLn)]
+                    for k in range(K)],
+               ndy=[[bcast(ndyc[k, nn]) for nn in range(nLn)]
+                    for k in range(K)])
+    muw0, mua0 = muw_ref[...], mua_ref[...]
+    cns = _freeze_k(muw0, mua0, geo, st, p)
+    cns["crad"] = [bcast(cradc[k]) for k in range(K)]       # (T, C) each
+    cns["cvalid"] = [bcast(cvalc[k]) for k in range(K)]
+    cns["stlp"] = stlp_ref[...]                             # (6, C)
+    cns["vf"] = nf_ref[0:1]                                 # (1, C)
+    cns["df"] = nf_ref[1:2]
+    cns["sf"] = nf_ref[2:3]
+    cns["valid"] = valid_ref[...]
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + i * C
+    cns["is_keep"] = (col1 % R < M).astype(f32)             # (1, C)
     muw, mua = _adam_loop(muw0, mua0, cns, st, p)
     outw_ref[...] = muw
     outa_ref[...] = mua
@@ -448,6 +522,38 @@ def pallas_invariants(fused_loss, cfg, fuse_freeze: bool) -> Dict:
     R = fused_loss.R
     K = fused_loss.nx.shape[1]
     inv: Dict = dict(K=K)
+    if fuse_freeze and getattr(cfg, "guidance_pallas_fold2", False):
+        # compact per-scene tensors for the in-kernel MXU broadcast
+        # (_kernel_fused_f2): last dim = bs, fetched once as replicated
+        # blocks instead of pre-broadcast (rows, bs*R) HBM streams
+        inv["ndxc"] = jnp.transpose(fused_loss.nx,
+                                    (1, 3, 2, 0)).astype(f32)  # (K,nLn,T,bs)
+        inv["ndyc"] = jnp.transpose(fused_loss.ny, (1, 3, 2, 0)).astype(f32)
+        inv["cradc"] = jnp.transpose(fused_loss.re + fused_loss.rn,
+                                     (1, 2, 0)).astype(f32)    # (K, T, bs)
+        inv["cvalc"] = jnp.transpose(fused_loss.nvalid,
+                                     (1, 2, 0)).astype(f32)
+        inv["scalc"] = jnp.stack(
+            [fused_loss.th0.reshape(-1), fused_loss.v0.reshape(-1)]
+        ).astype(f32)                                          # (2, bs)
+        inv["lanes_f"] = [_fold(fused_loss.lxr.astype(f32)),   # (S, bs*R)
+                          _fold(fused_loss.lyr.astype(f32)),
+                          _fold(fused_loss.lthr.astype(f32))]
+        inv["nLn"] = fused_loss.nx.shape[-1]
+        inv["S"] = fused_loss.lxr.shape[1]
+        ones = jnp.ones((bs, 1, R), f32)
+        inv["nf_f"] = _fold(jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(fused_loss.vf, f32), (bs, 1, R)),
+             jnp.broadcast_to(jnp.asarray(fused_loss.df, f32), (bs, 1, R)),
+             jnp.broadcast_to(jnp.asarray(fused_loss.sf, f32), (bs, 1, R))],
+            axis=1) if cfg.norm_stl
+            else jnp.concatenate([ones] * 3, axis=1))          # (3, bs*R)
+        inv["stlp_f"] = _fold(fused_loss.stlp_r.astype(f32))   # (6, bs*R)
+        inv["valid_f"] = _fold(
+            fused_loss.valid_r.astype(f32)[:, None])           # (1, bs*R)
+        inv["gscale"] = 1.0 / (bs * R * jnp.clip(
+            jnp.mean(fused_loss.valid_r), 1e-2))
+        return inv
     if fuse_freeze:
         nLn = fused_loss.nx.shape[-1]
         # neighbor discs laid out (bs, K, nLn, T, 1): the kernel's
@@ -494,8 +600,9 @@ def warm_invariants(fused_loss, cfg) -> None:
     Always overwrites: the cached values are tracers of the CURRENT trace;
     a conditional refresh could hand a later re-trace of the same loss
     object stale tracers from a dead trace."""
-    key = bool(cfg.guidance_pallas_fuse_freeze)
-    inv = pallas_invariants(fused_loss, cfg, key)
+    key = (bool(cfg.guidance_pallas_fuse_freeze),
+           bool(getattr(cfg, "guidance_pallas_fold2", False)))
+    inv = pallas_invariants(fused_loss, cfg, key[0])
     # pin the invariant arrays as materialized values: without the
     # barrier XLA re-fuses their layout-change + multiply-add producers
     # into the reverse-scan while body (LICM does not hoist fusions that
@@ -532,12 +639,66 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
 
     muw = mu_cm[:, :, 0, :].astype(f32)
     mua = mu_cm[:, :, 1, :].astype(f32)
+    fold2 = fuse_freeze and bool(getattr(cfg, "guidance_pallas_fold2",
+                                         False))
     cache = getattr(fused_loss, "_pallas_inv", None)
-    if cache is not None and cache[0] == fuse_freeze:
+    if cache is not None and cache[0] == (fuse_freeze, fold2):
         inv = cache[1]
     else:
         inv = pallas_invariants(fused_loss, cfg, fuse_freeze)
     K = inv["K"]
+
+    if fold2:
+        # column-grid + in-kernel scene broadcast (_kernel_fused_f2):
+        # per-row data streams in column chunks (pipelined DMA), per-scene
+        # constants ride compact and broadcast on the MXU inside
+        Rf = bs * R
+        cols = int(getattr(cfg, "guidance_pallas_cols", 0)) or min(Rf, 1536)
+        if Rf % cols:
+            cols = Rf
+        grid_n = Rf // cols
+        nLn, S = inv["nLn"], inv["S"]
+        p = dict(T=T, K=K, nt2=cfg.nt // 2,
+                 tau=float(cfg.smoothing_factor), dt=float(cfg.dt),
+                 mul_w=float(cfg.mul_w_max), mul_a=float(cfg.mul_a_max),
+                 lr=float(cfg.guidance_lr), niters=int(cfg.guidance_niters),
+                 inline=bool(cfg.inline), clip_dist=bool(cfg.clip_dist),
+                 quirk=bool(cfg.guidance_positive_offset_quirk),
+                 S=S, nLe=int(cfg.refined_nL), nLn=nLn,
+                 ego_L=float(cfg.ego_L), re=float(cfg.ego_W) / 2.0,
+                 bs=bs, R=R, M=fused_loss.M)
+        gvec_in = jnp.stack(
+            [jnp.asarray(beta_t, f32), jnp.asarray(thres, f32),
+             inv["gscale"]])[None]                           # (1, 3)
+        colspec = lambda *lead: pl.BlockSpec(
+            lead + (cols,), lambda i: (0,) * len(lead) + (i,))
+        rep = lambda *shape: pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape))
+        kwargs = {}
+        if not interpret:
+            from jax.experimental.pallas import tpu as pltpu
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+        outw, outa = pl.pallas_call(
+            functools.partial(_kernel_fused_f2, p),
+            grid=(grid_n,),
+            in_specs=[colspec(T), colspec(T),               # muw, mua
+                      colspec(S), colspec(S), colspec(S),   # lanes
+                      rep(K, nLn, T, bs), rep(K, nLn, T, bs),
+                      rep(K, T, bs), rep(K, T, bs),         # crad, cvalid
+                      colspec(6), colspec(3), colspec(1),   # stlp, nf, valid
+                      rep(2, bs), rep(1, 3)],               # scalc, gvec
+            out_specs=[colspec(T), colspec(T)],
+            out_shape=[jax.ShapeDtypeStruct((T, Rf), f32)] * 2,
+            interpret=interpret,
+            **kwargs,
+        )(_fold(muw), _fold(mua), *inv["lanes_f"],
+          inv["ndxc"], inv["ndyc"], inv["cradc"], inv["cvalc"],
+          inv["stlp_f"], inv["nf_f"], inv["valid_f"], inv["scalc"],
+          gvec_in)
+        unfold = lambda x: jnp.moveaxis(x.reshape(T, bs, R), 1, 0)
+        return jnp.stack([unfold(outw), unfold(outa)], axis=2)
+
     # every payload rides as its OWN operand (BlockSpecs slice operands
     # directly) — no stacked copies of the per-denoise-step frozen
     # payloads, and no R-fold broadcast of the per-(k, t) scalars

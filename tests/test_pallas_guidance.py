@@ -158,6 +158,39 @@ def test_fused_freeze_matches_xla(norm_stl):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("norm_stl", [False, True])
+def test_fold2_matches_grid(norm_stl):
+    """_kernel_fused_f2 (column-chunk grid + in-kernel MXU scene
+    broadcast) must reproduce the per-scene-grid fuse_freeze kernel: the
+    selector matmul is an exact broadcast (one-hot fp32 rows), is_keep
+    comes from the same col%R<M rule, and the freeze/Adam math is shared
+    code."""
+    cfg, fused, mu = _setup(norm_stl=norm_stl, seed=13)
+    mu_cm = fused._to_cand_minor(mu)
+    beta_t = jnp.asarray(0.02, jnp.float32)
+    run = lambda c: np.asarray(pallas_guidance.guidance_adam_cm(
+        fused, None, mu_cm, beta_t, 100.0, c, interpret=True,
+        fuse_freeze=True))
+    grid = run(cfg.with_(guidance_pallas_fold=False))
+    # bs=2, M=4 -> Rf = 24; cols=12 -> 2 chunks (the chunk boundary cuts
+    # THROUGH scene 0's columns — the iota selector must still map them)
+    if hasattr(fused, "_pallas_inv"):
+        del fused._pallas_inv
+    fold2 = run(cfg.with_(guidance_pallas_fold2=True,
+                          guidance_pallas_cols=12).finalize())
+    if hasattr(fused, "_pallas_inv"):
+        del fused._pallas_inv
+    fold2_one = run(cfg.with_(guidance_pallas_fold2=True).finalize())
+    np.testing.assert_allclose(fold2, grid, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(fold2_one, grid, rtol=1e-5, atol=1e-6)
+
+
+def test_fold2_config_coupling():
+    c = Config(diffusion=True, guidance=True,
+               guidance_pallas_fold2=True).finalize()
+    assert c.guidance_pallas_fuse_freeze and c.guidance_pallas
+
+
 def test_fused_freeze_flag_path():
     """cfg.guidance_pallas_fuse_freeze routes the sampler's guidance step
     through the freeze+Adam kernel and matches the default path."""
