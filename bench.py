@@ -57,7 +57,8 @@ def main():
     # =1 frozen-payload kernel, =2 fuse_freeze (same as default),
     # =1f/=2f the scene-folded variants, =3 the round-4 column-grid
     # fold2 kernel (in-kernel MXU scene broadcast; BENCH_COLS sets the
-    # chunk width, 0 = auto).
+    # chunk width, 0 = auto), =4 the whole-denoise-step superstep kernel
+    # (eps-MLP + posterior + guidance + noise in ONE program per step).
     gp = os.environ.get("BENCH_GPALLAS", "2")
     if gp != "0":
         # re-finalize: guidance_pallas couples reuse_selection/fused_loss
@@ -66,6 +67,7 @@ def main():
             guidance_pallas_fuse_freeze=gp.startswith("2"),
             guidance_pallas_fold=gp.endswith("f"),
             guidance_pallas_fold2=gp.startswith("3"),
+            guidance_pallas_superstep=gp.startswith("4"),
             guidance_pallas_cols=int(os.environ.get("BENCH_COLS", "0")),
         ).finalize()
     # frozen argmin selections across the per-step Adam iterations:

@@ -93,7 +93,9 @@ def cmd_data(args):
         from pstl_tpu.data import extract
         out = extract.extract_dataset(cfg, version=args.version,
                                       dataroot=args.dataroot,
-                                      out_path=args.out)
+                                      out_path=args.out,
+                                      sample_stride=args.t_stride,
+                                      anno_dir=args.anno_dir)
         print(f"extracted NuScenes cache -> {out}")
         return
     from pstl_tpu.data import synthetic
@@ -327,6 +329,9 @@ def main(argv=None):
                    help="extract from real NuScenes (needs devkit+data)")
     d.add_argument("--version", default="v1.0-trainval")
     d.add_argument("--dataroot", default=None)
+    d.add_argument("--anno-dir", default=None,
+                   help="reference annotation tool's per-scene high-level "
+                        "keyframe pickles (docs/REAL_DATA.md)")
     d.set_defaults(fn=cmd_data)
 
     t = sub.add_parser("trajopt", help="trajopt data augmentation")

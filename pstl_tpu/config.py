@@ -115,6 +115,13 @@ class Config:
     sampler: str = "ddpm"
     ddim_steps: int = 20
     ddim_eta: float = 0.0
+    # guidance-aware step placement for the fast samplers: fraction of the
+    # ddim_steps evaluations placed INSIDE the guided band
+    # [1, guidance_before] (diffusion._fast_taus); 0 = uniform spacing
+    fast_guided_focus: float = 0.0
+    # explicit focus-band size override (timesteps from t=1 upward); 0 =
+    # derive from guidance_before when the trigger schedule is banded
+    fast_focus_band: int = 0
     grad_rollout: bool = False
     use_init_hint: bool = False
     gt_data_training: bool = False
@@ -297,6 +304,12 @@ class Config:
     # loss mode).  guidance_pallas_cols sets the chunk width (default
     # min(bs*R, 1536)).  Implies guidance_pallas_fuse_freeze.
     guidance_pallas_fold2: bool = False
+    # round-4 program-boundary extension: the WHOLE denoise step (split-MLP
+    # epsilon prediction, DDPM posterior, guidance, noise injection) as ONE
+    # column-grid Pallas program per scan step — zero XLA fusions between
+    # kernel launches (diffusion._reverse_superstep).  Implies
+    # guidance_pallas_fold2; requires the cm-sampler path.
+    guidance_pallas_superstep: bool = False
     pallas_interpret: bool = False            # run Pallas kernels interpreted
     # serve training batches from the C++ mmap shard store (thread-pool
     # gather + double-buffered prefetch) instead of numpy slicing — the
@@ -357,7 +370,13 @@ class Config:
         upd["offline"] = not c.collect_data
         if c.test or upd.get("test"):
             upd["epochs"] = 1
-        if c.guidance_pallas_fold2:
+        if c.guidance_pallas_superstep:
+            upd["guidance_pallas_fold2"] = True
+            if not c.cm_sampler:
+                raise ValueError(
+                    "guidance_pallas_superstep runs the cm-sampler scan "
+                    "in-kernel; cm_sampler must stay True")
+        if c.guidance_pallas_fold2 or upd.get("guidance_pallas_fold2"):
             upd["guidance_pallas_fuse_freeze"] = True
         if c.guidance_pallas_fuse_freeze or upd.get(
                 "guidance_pallas_fuse_freeze"):

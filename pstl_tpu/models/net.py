@@ -401,4 +401,21 @@ def make_cm_eps_fn(params, batch: Dict[str, Array], highlevel: Array,
                + bias[-1].astype(dt)[None, :, None])
         return raw.astype(jnp.float32).reshape(bs, cfg.nt, 2, R) + x_cm
 
+    # raw operand views for the Pallas superstep kernel
+    # (ops/pallas_guidance.superstep_call): the same split-MLP pieces,
+    # pre-sliced by control channel (row d = t*2 + c of the (D, h1) noise
+    # block) and pre-transposed so the kernel's matmuls are plain
+    # dot((rows, k), (k, C)) with NO in-kernel transposes or stride-2
+    # slicing.  bias0 / feature / highlevel / stlp live inside base_cm.
+    eps_cm.operands = dict(
+        base_cm=base_cm,                      # (bs, h1, R), compute dtype
+        Wt=Wt,                                # (TIME_DIM, h1)
+        WnwT=Wn[0::2].T, WnaT=Wn[1::2].T,     # (h1, nt) each
+        mid=[(kern[i].astype(dt).T, bias[i].astype(dt).reshape(-1, 1))
+             for i in range(1, nl - 1)],      # [(k, h) W^T, (k, 1) b]
+        WowT=kern[-1].astype(dt)[:, 0::2].T,  # (nt, h_last)
+        WoaT=kern[-1].astype(dt)[:, 1::2].T,
+        bow=bias[-1].astype(dt)[0::2].reshape(-1, 1),   # (nt, 1)
+        boa=bias[-1].astype(dt)[1::2].reshape(-1, 1),
+        dt=dt, bs=bs, R=R, nt=cfg.nt)
     return eps_cm

@@ -500,6 +500,200 @@ def _kernel_fused_f2(p, muw_ref, mua_ref, lxr_ref, lyr_ref, lthr_ref,
     outa_ref[...] = mua
 
 
+def _eps_mlp_k(xw, xa, base, te_col, wrefs, p):
+    """In-kernel split-MLP epsilon prediction on folded (rows, C) tiles.
+
+    Mirrors ``models.net.make_cm_eps_fn``'s eps_cm (ref nusc_model.py:97-162
+    multi-candidate diffusion forward) with the layer-1 split: ``base``
+    carries the loop-invariant feature/highlevel/stlp/bias contributions,
+    ``te_col`` the timestep embedding's layer-1 column, and only the noise
+    block is computed here — dot((h1, nt), (nt, C)) MXU matmuls per control
+    channel (weights pre-sliced by channel on host, no stride-2 slicing).
+
+    xw/xa: (nt, C) fp32.  Returns (epsw, epsa) fp32 INCLUDING the residual
+    ``raw + noise`` (nusc_model.py:161-162).
+    """
+    dt = p["mlp_dt"]
+    f32 = jnp.float32
+    # Mosaic requires 32-bit matmul accumulators for bf16 operands:
+    # accumulate in f32, cast activations back to dt between layers.
+    dot = lambda a, b: jax.lax.dot(a, b, preferred_element_type=f32)
+    (WnwT, WnaT), mid, (WowT, WoaT, bow, boa) = wrefs
+    h = (base.astype(f32) + te_col.astype(f32)
+         + dot(WnwT, xw.astype(dt)) + dot(WnaT, xa.astype(dt)))  # (h1, C)
+    h = jnp.maximum(h, 0).astype(dt)
+    for WT, b in mid:
+        h = jnp.maximum(dot(WT, h) + b.astype(f32), 0).astype(dt)
+    raww = dot(WowT, h) + bow.astype(f32)                  # (nt, C)
+    rawa = dot(WoaT, h) + boa.astype(f32)
+    return raww + xw, rawa + xa
+
+
+def _kernel_superstep(p, *refs):
+    """ONE whole denoise step per program: split-MLP epsilon prediction,
+    DDPM posterior mean, (optionally) the in-VMEM freeze + guidance Adam
+    ascent, and the noise injection — the round-4 program-boundary
+    extension past the guidance loop (docs/PERF.md round-3 #5: the
+    eps-MLP + posterior + noise ran as XLA fusions BETWEEN kernel calls).
+
+    Layout = the fold2 column-grid: per-row data streams in column chunks,
+    per-scene constants ride compact (last dim = bs) and broadcast
+    in-kernel via the MXU scene-selector matmul; MLP weights ride
+    replicated and stay VMEM-resident across grid steps.
+
+    Operand order (see superstep_call): xw, xa, zw, za, base, te,
+    WnwT, WnaT, [mid WT, b]*, WowT, WoaT, bow, boa,
+    lxr, lyr, lthr, ndxc, ndyc, cradc, cvalc, stlp, nf, valid, scalc,
+    gvec(1, 8) -> outw, outa.
+
+    gvec packs the per-step scalars: [beta_t, thres, gscale, c1, c2, c3]
+    with mu = (x - c1*eps)/c2 (c1 = (1-a)/sqrt(1-a_hat), c2 = sqrt(a),
+    nusc_train.py:585-588) and x_next = mu + c3*z (c3 = noise_scale *
+    sqrt(beta)).
+    """
+    i = pl.program_id(0)
+    nmid = p["nmid"]
+    it = iter(refs)
+    xw_ref, xa_ref, zw_ref, za_ref, base_ref, te_ref = (
+        next(it) for _ in range(6))
+    WnwT, WnaT = next(it)[...], next(it)[...]
+    mid = [(next(it)[...], next(it)[...]) for _ in range(nmid)]
+    WowT, WoaT, bow, boa = (next(it)[...] for _ in range(4))
+    (lxr_ref, lyr_ref, lthr_ref, ndxc_ref, ndyc_ref, cradc_ref, cvalc_ref,
+     stlp_ref, nf_ref, valid_ref, scalc_ref, gvec_ref, outw_ref,
+     outa_ref) = (next(it) for _ in range(14))
+
+    xw, xa = xw_ref[...], xa_ref[...]                       # (T, C) f32
+    wrefs = ((WnwT, WnaT), mid, (WowT, WoaT, bow, boa))
+    epsw, epsa = _eps_mlp_k(xw, xa, base_ref[...], te_ref[...], wrefs, p)
+    g = gvec_ref[...]                                       # (1, 8)
+    c1, c2, c3 = g[0:1, 3:4], g[0:1, 4:5], g[0:1, 5:6]
+    muw = (xw - c1 * epsw) / c2
+    mua = (xa - c1 * epsa) / c2
+
+    if p["guided"]:
+        C = muw.shape[-1]
+        bs, R, M = p["bs"], p["R"], p["M"]
+        K, nLn = p["K"], p["nLn"]
+        f32 = jnp.float32
+        row_b = jax.lax.broadcasted_iota(jnp.int32, (bs, C), 0)
+        col_b = jax.lax.broadcasted_iota(jnp.int32, (bs, C), 1) + i * C
+        sel = (col_b // R == row_b).astype(f32)             # (bs, C)
+        bcast = lambda m: jax.lax.dot(m.astype(f32), sel,
+                                      precision=jax.lax.Precision.HIGHEST)
+        ndxc, ndyc = ndxc_ref[...], ndyc_ref[...]           # (K, nLn, T, bs)
+        cradc, cvalc = cradc_ref[...], cvalc_ref[...]       # (K, T, bs)
+        scalc = scalc_ref[...]                              # (2, bs)
+        st = dict(th0=bcast(scalc[0:1]), v0=bcast(scalc[1:2]),
+                  beta=g[0:1, 0:1], thres=g[0:1, 1:2], gscale=g[0:1, 2:3])
+        geo = dict(lxr=lxr_ref[...], lyr=lyr_ref[...], lthr=lthr_ref[...],
+                   ndx=[[bcast(ndxc[k, nn]) for nn in range(nLn)]
+                        for k in range(K)],
+                   ndy=[[bcast(ndyc[k, nn]) for nn in range(nLn)]
+                        for k in range(K)])
+        cns = _freeze_k(muw, mua, geo, st, p)
+        cns["crad"] = [bcast(cradc[k]) for k in range(K)]
+        cns["cvalid"] = [bcast(cvalc[k]) for k in range(K)]
+        cns["stlp"] = stlp_ref[...]
+        cns["vf"] = nf_ref[0:1]
+        cns["df"] = nf_ref[1:2]
+        cns["sf"] = nf_ref[2:3]
+        cns["valid"] = valid_ref[...]
+        col1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + i * C
+        cns["is_keep"] = (col1 % R < M).astype(f32)
+        muw, mua = _adam_loop(muw, mua, cns, st, p)
+
+    outw_ref[...] = muw + c3 * zw_ref[...]
+    outa_ref[...] = mua + c3 * za_ref[...]
+
+
+def superstep_call(fused_loss, mlp_ops, xw_f, xa_f, zw_f, za_f, te_col,
+                   gvec_row, cfg, guided: bool, interpret: bool = False):
+    """Dispatch one whole denoise step as a column-grid Pallas program.
+
+    xw_f/xa_f/zw_f/za_f: (nt, bs*R) folded fp32; te_col (h1, 1) in the
+    MLP compute dtype; gvec_row (1, 8) fp32 per-step scalars (see
+    _kernel_superstep).  Returns (xw_next, xa_next) folded fp32.
+    Called from ``diffusion.reverse_sample``'s superstep scan body with
+    the fold2 invariants pre-warmed on ``fused_loss``.
+    """
+    f32 = jnp.float32
+    bs, R = mlp_ops["bs"], mlp_ops["R"]
+    T = mlp_ops["nt"]
+    cache = getattr(fused_loss, "_pallas_inv", None)
+    assert cache is not None and cache[0] == (True, True), (
+        "superstep_call needs warm_invariants with guidance_pallas_fold2")
+    inv = cache[1]
+    K, nLn, S = inv["K"], inv["nLn"], inv["S"]
+    Rf = bs * R
+    cols = int(getattr(cfg, "guidance_pallas_cols", 0)) or _auto_cols(Rf)
+    if Rf % cols:
+        cols = Rf
+    grid_n = Rf // cols
+    h1 = mlp_ops["base_f"].shape[0]
+    p = dict(T=T, K=K, nt2=cfg.nt // 2, tau=float(cfg.smoothing_factor),
+             dt=float(cfg.dt), mul_w=float(cfg.mul_w_max),
+             mul_a=float(cfg.mul_a_max), lr=float(cfg.guidance_lr),
+             niters=int(cfg.guidance_niters), inline=bool(cfg.inline),
+             clip_dist=bool(cfg.clip_dist),
+             quirk=bool(cfg.guidance_positive_offset_quirk),
+             S=S, nLe=int(cfg.refined_nL), nLn=nLn,
+             ego_L=float(cfg.ego_L), re=float(cfg.ego_W) / 2.0,
+             bs=bs, R=R, M=fused_loss.M,
+             guided=bool(guided), nmid=len(mlp_ops["mid"]),
+             mlp_dt=mlp_ops["dt"])
+    colspec = lambda *lead: pl.BlockSpec(
+        lead + (cols,), lambda i: (0,) * len(lead) + (i,))
+    rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    mid_flat, mid_specs = [], []
+    for WT, b in mlp_ops["mid"]:
+        mid_flat += [WT, b]
+        mid_specs += [rep(*WT.shape), rep(*b.shape)]
+    ins = [xw_f, xa_f, zw_f, za_f, mlp_ops["base_f"], te_col,
+           mlp_ops["WnwT"], mlp_ops["WnaT"], *mid_flat,
+           mlp_ops["WowT"], mlp_ops["WoaT"], mlp_ops["bow"],
+           mlp_ops["boa"],
+           *inv["lanes_f"], inv["ndxc"], inv["ndyc"], inv["cradc"],
+           inv["cvalc"], inv["stlp_f"], inv["nf_f"], inv["valid_f"],
+           inv["scalc"], gvec_row]
+    specs_in = ([colspec(T)] * 4 + [colspec(h1), rep(h1, 1)]
+                + [rep(*mlp_ops["WnwT"].shape), rep(*mlp_ops["WnaT"].shape)]
+                + mid_specs
+                + [rep(*mlp_ops["WowT"].shape), rep(*mlp_ops["WoaT"].shape),
+                   rep(*mlp_ops["bow"].shape), rep(*mlp_ops["boa"].shape)]
+                + [colspec(S)] * 3
+                + [rep(K, nLn, T, bs), rep(K, nLn, T, bs),
+                   rep(K, T, bs), rep(K, T, bs),
+                   colspec(6), colspec(3), colspec(1),
+                   rep(2, bs), rep(1, 8)])
+    kwargs = {}
+    if not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    return pl.pallas_call(
+        functools.partial(_kernel_superstep, p),
+        grid=(grid_n,),
+        in_specs=specs_in,
+        out_specs=[colspec(T), colspec(T)],
+        out_shape=[jax.ShapeDtypeStruct((T, Rf), f32)] * 2,
+        interpret=interpret,
+        **kwargs,
+    )(*ins)
+
+
+def _auto_cols(Rf: int, target: int = 1536) -> int:
+    """Largest 128-multiple divisor of ``Rf`` at most ``target`` — the
+    column-chunk width for the fold2/superstep grids.  The old
+    ``min(Rf, 1536)`` auto degraded to ONE giant program whenever 1536
+    didn't divide bs*R (e.g. bs=64, R=64 -> Rf=4096): no column
+    pipelining and heavy VMEM pressure (the round-3 bs-scaling cliff)."""
+    for cand in range(min(Rf, target) // 128 * 128, 127, -128):
+        if Rf % cand == 0:
+            return cand
+    return Rf
+
+
 def _fold(x):
     """(bs, ..., R) -> (..., bs*R): scenes become extra lane columns."""
     y = jnp.moveaxis(x, 0, -2)
@@ -653,7 +847,7 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
         # per-row data streams in column chunks (pipelined DMA), per-scene
         # constants ride compact and broadcast on the MXU inside
         Rf = bs * R
-        cols = int(getattr(cfg, "guidance_pallas_cols", 0)) or min(Rf, 1536)
+        cols = int(getattr(cfg, "guidance_pallas_cols", 0)) or _auto_cols(Rf)
         if Rf % cols:
             cols = Rf
         grid_n = Rf // cols

@@ -35,7 +35,16 @@ def main():
             ("ddpm", dict(sampler="ddpm")),
             ("ddim20", dict(sampler="ddim", ddim_steps=20)),
             ("dpmpp10", dict(sampler="dpmpp", ddim_steps=10)),
-            ("dpmpp20", dict(sampler="dpmpp", ddim_steps=20))):
+            ("dpmpp20", dict(sampler="dpmpp", ddim_steps=20)),
+            # guidance-aware step placement (VERDICT r3 #9): 40% of the
+            # evaluations in the last-10-timesteps band where guidance
+            # correction moves the final sample most
+            ("dpmpp20_focus", dict(sampler="dpmpp", ddim_steps=20,
+                                   fast_guided_focus=0.4,
+                                   fast_focus_band=10)),
+            ("ddim20_focus", dict(sampler="ddim", ddim_steps=20,
+                                  fast_guided_focus=0.4,
+                                  fast_focus_band=10))):
         cfg = PRESETS["ours_guidance"].with_(**base).with_(
             test=True, sampling_size=64, stl_weight=1.0, **over)
         ds = SceneDataset.load(os.path.join(OUT, "cache_aug.npz"), cfg)

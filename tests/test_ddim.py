@@ -90,3 +90,48 @@ def test_sample_dispatch():
                                   coeffs, n)
     assert steps3.shape[0] == 1
     np.testing.assert_allclose(np.asarray(c3), np.asarray(c2), atol=1e-6)
+
+
+def test_fast_taus_guided_focus():
+    """_fast_taus: uniform by default; with fast_guided_focus and a banded
+    trigger, the requested fraction of evaluations lands inside
+    [1, guidance_before], strictly decreasing, endpoints preserved."""
+    from pstl_tpu.config import Config
+    base = dict(diffusion=True, diffusion_steps=100, ddim_steps=20)
+    uni = diffusion._fast_taus(Config(**base).finalize())
+    assert len(uni) == 20 and uni[0] == 99 and uni[-1] == 1
+    assert (np.diff(uni) < 0).all()
+    cfg = Config(**base, guidance=True, guidance_before=10,
+                 fast_guided_focus=0.5).finalize()
+    taus = diffusion._fast_taus(cfg)
+    assert len(taus) == 20 and taus[0] == 99 and taus[-1] == 1
+    assert (np.diff(taus) < 0).all()
+    in_band = int((taus <= 10).sum())
+    assert in_band == 10                     # 0.5 * 20 evaluations
+    # all-steps guidance (guidance_before >= T-1): focus is a no-op
+    cfg_all = Config(**base, guidance=True, guidance_before=1000,
+                     fast_guided_focus=0.5).finalize()
+    np.testing.assert_array_equal(diffusion._fast_taus(cfg_all), uni)
+
+
+def test_ddim_runs_with_guided_focus():
+    cfg = small_cfg(sampler="ddim", ddim_steps=6, guidance=True,
+                    guidance_before=3, guidance_niters=1,
+                    fast_guided_focus=0.5)
+    (apply_fn, dense, feature, states_flat, coeffs, formulas, signal_base,
+     ctx, n) = make_sampler_setup(cfg)
+    c, _ = diffusion.reverse_sample_ddim(
+        jax.random.PRNGKey(0), apply_fn, dense, dense["highlevel_dense"],
+        feature, cfg, coeffs, n, guidance_ctx=ctx, maximize=True)
+    assert np.isfinite(np.asarray(c)).all()
+
+
+def test_fast_taus_explicit_band():
+    """fast_focus_band applies the focus with an all-steps trigger."""
+    from pstl_tpu.config import Config
+    cfg = Config(diffusion=True, diffusion_steps=100, ddim_steps=20,
+                 guidance=True, guidance_before=1000,
+                 fast_guided_focus=0.4, fast_focus_band=10).finalize()
+    taus = diffusion._fast_taus(cfg)
+    assert len(taus) == 20 and (np.diff(taus) < 0).all()
+    assert int((taus <= 10).sum()) == 8      # 0.4 * 20

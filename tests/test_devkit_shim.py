@@ -12,6 +12,7 @@ UNCHANGED — the code that would run against a real installation
 (reference query patterns: nusc_api.py:126-144, 191-267, 613-683).
 """
 
+import contextlib
 import importlib
 import math
 import sys
@@ -161,8 +162,12 @@ class FakeNuScenes:
         return f"s{si}_0"
 
 
-@pytest.fixture
-def fake_devkit():
+@contextlib.contextmanager
+def fake_devkit_ctx():
+    """Inject the fake devkit into sys.modules and reload ``extract`` so
+    the REAL devkit code path executes.  Shared by the pytest fixture
+    below and ``tests/golden/make_extract_golden.py`` (the committed
+    golden-capsule regenerator)."""
     mods = {}
     root = types.ModuleType("nuscenes")
     nn = types.ModuleType("nuscenes.nuscenes")
@@ -193,6 +198,12 @@ def fake_devkit():
                 sys.modules[k] = old
         importlib.reload(extract)
         assert not extract.HAVE_NUSCENES
+
+
+@pytest.fixture
+def fake_devkit():
+    with fake_devkit_ctx():
+        yield
 
 
 def _cfg():
