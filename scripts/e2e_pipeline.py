@@ -80,9 +80,14 @@ def main():
     else:
         assert "data" in stages, "no cache and data stage disabled"
         from pstl_tpu.data import synthetic
-        data = synthetic.generate_dataset(cfg5.seed, n_scenes, cfg5,
-                                          scene_len=38,
-                                          t_samples=t_samples, t_stride=6)
+        # E2E_LOW_SPEED: fraction of near-stop/low-speed scenes mixed into
+        # the TRAINING data only (strict-OOL reversal coverage, VERDICT r3
+        # #3) — the held-out closed-loop protocol below stays unchanged
+        low_speed = float(os.environ.get("E2E_LOW_SPEED", "0"))
+        data = synthetic.generate_dataset(
+            cfg5.seed, n_scenes,
+            cfg5.with_(synth_low_speed_frac=low_speed), scene_len=38,
+            t_samples=t_samples, t_stride=6)
         ds = SceneDataset(data, cfg5)
         log(f"generated {len(ds)} samples from {n_scenes} scenes")
         formulas = specs.build_scorer(cfg5)

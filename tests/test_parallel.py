@@ -1,5 +1,7 @@
 """Mesh construction, batch sharding, and multihost helpers (8 CPU devs)."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -155,10 +157,11 @@ def test_closed_loop_candidate_sharded_matches_unsharded(blend):
                                    err_msg=k)
 
 
-def _run_two_procs(script_path, timeout=240):
+def _run_two_procs(script_path, timeout=240, extra_args=()):
     import subprocess
     import sys
-    procs = [subprocess.Popen([sys.executable, str(script_path), str(i)],
+    procs = [subprocess.Popen([sys.executable, str(script_path), str(i),
+                               *extra_args],
                               stdout=subprocess.PIPE,
                               stderr=subprocess.PIPE, text=True)
              for i in range(2)]
@@ -177,74 +180,22 @@ def _run_two_procs(script_path, timeout=240):
 
 
 @pytest.mark.slow
-def test_two_process_full_train_step(tmp_path):
+def test_two_process_full_train_step():
     """VERDICT r3 #8: one COMPLETE train_step (forward, STL losses, grads,
     optimizer update) across 2 processes x 4 CPU devices — the DCN-path
     gradient psums get real multi-process execution evidence.  Each process
     contributes half the global batch; both must agree on the loss and on
-    the updated-parameter checksum (the gradient all-reduce is global)."""
+    the updated-parameter checksum (the gradient all-reduce is global).
+    Worker body shared with ``__graft_entry__.dryrun_multichip``'s third
+    leg (scripts/two_proc_train_step.py)."""
     import socket
     sock = socket.socket()
     sock.bind(("127.0.0.1", 0))
     port = sock.getsockname()[1]
     sock.close()
-    script = tmp_path / "worker_train.py"
-    script.write_text(f"""
-import os, sys
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-os.environ["JAX_PLATFORMS"] = "cpu"
-sys.path.insert(0, {repr(__file__.rsplit('/tests/', 1)[0])})
-import jax
-jax.config.update("jax_platforms", "cpu")
-pid = int(sys.argv[1])
-jax.distributed.initialize(coordinator_address="127.0.0.1:{port}",
-                           num_processes=2, process_id=pid,
-                           local_device_ids=list(range(4)))
-import numpy as np
-import jax.numpy as jnp
-from pstl_tpu import diffusion, specs, train
-from pstl_tpu.config import Config
-from pstl_tpu.data import synthetic
-from pstl_tpu.data.dataset import SceneDataset, batch_iterator
-from pstl_tpu.models import Net
-from pstl_tpu.parallel import (make_mesh, replicate,
-                               global_batch_from_local, local_rows)
-
-cfg = Config(diffusion=True, rect_head=True, diverse_loss=True,
-             multi_cands=2, n_randoms=2, n_neighbors=2, n_shards=2,
-             diffusion_steps=5, guidance=False, compute_dtype="float32",
-             flex=True).finalize().with_(epochs=1)
-bs = 8
-data = synthetic.generate_dataset(3, bs, cfg, scene_len=26)   # seeded: same on both procs
-ds = SceneDataset({{k: v for k, v in data.items()
-                    if not k.startswith("scene_")}}, cfg)
-ds.ensure_random_params(cfg.seed)
-batch = next(batch_iterator(ds, "train", bs, shuffle=False, drop_last=False))
-COLS = ("ego", "neighbors", "curr", "left", "right", "gt_", "params",
-        "tj_scores", "pre_stlp")
-batch = {{k: np.asarray(v) for k, v in batch.items() if k.startswith(COLS)}}
-
-state = train.init_state(cfg, Net(cfg), batch, jax.random.PRNGKey(0))
-opt = train.make_optimizer(cfg, state.params)
-state = train.TrainState(state.params, opt.init(state.params), state.step)
-
-mesh = make_mesh((-1,), ("data",))
-assert mesh.shape["data"] == 8, mesh.shape
-rows = local_rows(bs)                      # this process's half of the batch
-gb = global_batch_from_local({{k: v[rows] for k, v in batch.items()}}, mesh)
-state = jax.device_put(state, replicate(mesh))
-
-step_fn = train.make_train_step(cfg, Net(cfg), specs.build_scorer(cfg),
-                                diffusion.get_coeffs(cfg), opt)
-new_state, rd = step_fn(state, gb, jax.random.PRNGKey(7))
-loss = float(rd["loss"])
-ck = float(sum(jnp.sum(jnp.abs(l)) for l in
-               jax.tree_util.tree_leaves(new_state.params)))
-assert np.isfinite(loss) and np.isfinite(ck)
-assert int(new_state.step) == 1
-print("TRAINSTEP", round(loss, 6), round(ck, 4), flush=True)
-""")
-    outs = _run_two_procs(script, timeout=300)
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "two_proc_train_step.py")
+    outs = _run_two_procs(script, timeout=300, extra_args=[str(port)])
     lines = [next(ln for ln in out.splitlines() if ln.startswith("TRAINSTEP"))
              for _, out, _ in outs]
     # the loss and updated-param checksum must be IDENTICAL on both hosts:
