@@ -265,6 +265,15 @@ def run(cfg: Config, ds: SceneDataset, params, net: Optional[Net] = None,
             tr = np.asarray(nn_trajs[:, :-1]).reshape(bs_v, S, 3, cfg.nt, 4)
             sc = np.asarray(nn["scores"]).reshape(bs_v, S, 3)
             bnp = {k: np.asarray(v) for k, v in batch.items()}
+            # inject per-sample drivable rasters from the per-SCENE store
+            # (batches carry only per-sample columns): the map-patch
+            # backdrop of the reference figures (nusc_viz.py:204-339)
+            sd = getattr(ds, "scene_data", {})
+            if "scene_drivable" in sd and "traj_i" in bnp:
+                ti = bnp["traj_i"].astype(int).reshape(-1)
+                for k2 in ("scene_drivable", "scene_drivable_origin",
+                           "scene_drivable_res"):
+                    bnp[k2] = np.asarray(sd[k2])[ti]
             for i in range(min(bs_v, 6)):
                 viz.plot_paper_scene(os.path.join(
                     viz_dir, f"paper_scene{i:02d}.png"), bnp, i,

@@ -719,6 +719,16 @@ def _viz_epoch(cfg: Config, ds: SceneDataset, epi: int, net=None, state=None,
                 and formulas is not None):
             nn_trajs, nn_scores = _viz_sample(cfg, net, state.params,
                                               formulas, coeffs, batch, n_nn)
+        batch = dict(batch)
+        # drivable-raster backdrop (the reference draws map patches,
+        # nusc_viz.py:204-339): scene_* tensors live in the per-SCENE
+        # store — index them per sample via traj_i
+        sd = getattr(ds, "scene_data", {})
+        if "scene_drivable" in sd and "traj_i" in batch:
+            ti = np.asarray(batch["traj_i"]).astype(int).reshape(-1)
+            for k2 in ("scene_drivable", "scene_drivable_origin",
+                       "scene_drivable_res"):
+                batch[k2] = np.asarray(sd[k2])[ti]
         for i in range(min(bs, cfg.num_viz)):
             viz.plot_training_viz(
                 os.path.join("exps", cfg.exp_name, "viz",

@@ -72,3 +72,16 @@ def test_paper_and_training_viz(tmp_path):
                           nn_trajs=trajs, nn_scores=scores, epoch=3)
     import os
     assert os.path.getsize(p1) > 5000 and os.path.getsize(p2) > 5000
+    # with per-sample drivable rasters present (the eval/train hooks inject
+    # them from the per-scene store via traj_i), the backdrop draws
+    data2 = dict(data)
+    ti = np.asarray(data["traj_i"]).astype(int).reshape(-1)
+    drv = np.zeros((2, 40, 40), bool)
+    drv[:, 15:25, :] = True
+    data2["scene_drivable"] = drv[ti]
+    data2["scene_drivable_origin"] = np.tile(
+        data["ego_traj"][:1, 0, :2] - 10.0, (len(ti), 1)).astype(np.float32)
+    data2["scene_drivable_res"] = np.full((len(ti),), 0.5, np.float32)
+    p3 = str(tmp_path / "paper_raster.png")
+    viz.plot_paper_scene(p3, data2, 0, nn_trajs=trajs, nn_scores=scores)
+    assert os.path.getsize(p3) > 5000
