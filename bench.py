@@ -61,6 +61,13 @@ def main():
     # (eps-MLP + posterior + guidance + noise in ONE program per step).
     gp = os.environ.get("BENCH_GPALLAS", "2")
     if gp != "0":
+        # BENCH_GPACK=G packs G scenes per program in the lane axis of the
+        # per-scene fuse_freeze grid — only meaningful for gp=2 unfolded.
+        # Default 2: fills the 128 VPU lanes at R=64; measured 606.3 vs
+        # 524-536 steps/s at G=1 (+15%), G=4 570.5, G=8 compile-times-out
+        # (docs/PERF.md round-4).
+        pack = (int(os.environ.get("BENCH_GPACK", "2"))
+                if gp == "2" else 1)
         # re-finalize: guidance_pallas couples reuse_selection/fused_loss
         cfg = cfg.with_(
             guidance_pallas=True,
@@ -69,6 +76,7 @@ def main():
             guidance_pallas_fold2=gp.startswith("3"),
             guidance_pallas_superstep=gp.startswith("4"),
             guidance_pallas_cols=int(os.environ.get("BENCH_COLS", "0")),
+            guidance_pallas_pack=pack,
         ).finalize()
     # frozen argmin selections across the per-step Adam iterations:
     # measured 242.2 vs 213.3 steps/s (1.135x) metric-neutral (compliance

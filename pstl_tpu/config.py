@@ -310,6 +310,15 @@ class Config:
     # kernel launches (diffusion._reverse_superstep).  Implies
     # guidance_pallas_fold2; requires the cm-sampler path.
     guidance_pallas_superstep: bool = False
+    # pack G scenes side-by-side in the LANE axis of each per-scene-grid
+    # fuse_freeze program ((T, G*R) tiles, grid bs/G): R=64 tiles fill only
+    # half the 128 VPU lanes, so G=2 halves the per-plan vector-op count at
+    # unchanged per-program latency (docs/PERF.md round-4 #4).  Per-scene
+    # constants pre-broadcast to lanes on the HOST (no in-kernel selector
+    # matmuls like fold2; per-scene-grid DMA/compute pipelining retained).
+    # Implies guidance_pallas_fuse_freeze; mutually exclusive with the
+    # folded variants; silently falls back to 1 when bs % G != 0.
+    guidance_pallas_pack: int = 1
     pallas_interpret: bool = False            # run Pallas kernels interpreted
     # serve training batches from the C++ mmap shard store (thread-pool
     # gather + double-buffered prefetch) instead of numpy slicing — the
@@ -370,6 +379,14 @@ class Config:
         upd["offline"] = not c.collect_data
         if c.test or upd.get("test"):
             upd["epochs"] = 1
+        if c.guidance_pallas_pack > 1:
+            upd["guidance_pallas_fuse_freeze"] = True
+            if (c.guidance_pallas_fold or c.guidance_pallas_fold2
+                    or c.guidance_pallas_superstep):
+                raise ValueError(
+                    "guidance_pallas_pack packs scenes into the per-scene "
+                    "grid; it is mutually exclusive with the folded kernel "
+                    "variants (fold/fold2/superstep)")
         if c.guidance_pallas_superstep:
             upd["guidance_pallas_fold2"] = True
             if not c.cm_sampler:

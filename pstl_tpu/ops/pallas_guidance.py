@@ -350,8 +350,17 @@ def _kernel_fused(p, muw_ref, mua_ref, lxr_ref, lyr_ref, lthr_ref,
                   valid_ref, keep_ref, scal_ref, gvec_ref, outw_ref,
                   outa_ref):
     """Freeze + Adam loop in ONE program: the selections are computed
-    in-VMEM from the posterior mean (no per-step payload HBM round-trip)."""
-    st = dict(th0=scal_ref[0, :, 0:1], v0=scal_ref[0, :, 1:2],
+    in-VMEM from the posterior mean (no per-step payload HBM round-trip).
+
+    scal carries th0/v0 either as per-scene scalars ((1, 2) tile) or, on
+    the guidance_pallas_pack>1 path, pre-broadcast lane rows ((2, G*R):
+    each packed scene's columns carry its own scalars)."""
+    sc = scal_ref[0]
+    if sc.shape == (1, 2):                       # per-scene scalar tile
+        th0, v0 = sc[:, 0:1], sc[:, 1:2]
+    else:                                        # packed (2, G*R) rows
+        th0, v0 = sc[0:1], sc[1:2]
+    st = dict(th0=th0, v0=v0,
               beta=gvec_ref[0:1, 0:1], thres=gvec_ref[0:1, 1:2],
               gscale=gvec_ref[0:1, 2:3])
     ndx_a, ndy_a = ndx_ref[0], ndy_ref[0]
@@ -621,7 +630,7 @@ def superstep_call(fused_loss, mlp_ops, xw_f, xa_f, zw_f, za_f, te_col,
     bs, R = mlp_ops["bs"], mlp_ops["R"]
     T = mlp_ops["nt"]
     cache = getattr(fused_loss, "_pallas_inv", None)
-    assert cache is not None and cache[0] == (True, True), (
+    assert cache is not None and cache[0] == (True, True, 1), (
         "superstep_call needs warm_invariants with guidance_pallas_fold2")
     inv = cache[1]
     K, nLn, S = inv["K"], inv["nLn"], inv["S"]
@@ -698,6 +707,37 @@ def _fold(x):
     """(bs, ..., R) -> (..., bs*R): scenes become extra lane columns."""
     y = jnp.moveaxis(x, 0, -2)
     return y.reshape(y.shape[:-2] + (y.shape[-2] * y.shape[-1],))
+
+
+def _eff_pack(cfg, bs: int, fuse_freeze: bool) -> int:
+    """Effective guidance_pallas_pack: >1 only on the per-scene-grid
+    fuse_freeze path when G divides bs (cfg.finalize already rejects the
+    folded variants)."""
+    G = int(getattr(cfg, "guidance_pallas_pack", 1) or 1)
+    if (not fuse_freeze or G < 2 or bs % G
+            or getattr(cfg, "guidance_pallas_fold", False)
+            or getattr(cfg, "guidance_pallas_fold2", False)):
+        return 1
+    return G
+
+
+def _packG(x, G: int, R: int):
+    """(bs, ..., R|1) -> (bs/G, ..., G*R): G scenes side-by-side in the
+    lane axis.  Last-dim-1 per-scene constants broadcast to R first so
+    every lane column carries its own scene's value."""
+    if x.shape[-1] == 1:
+        x = jnp.broadcast_to(x, x.shape[:-1] + (R,))
+    bs = x.shape[0]
+    y = x.reshape((bs // G, G) + x.shape[1:])
+    y = jnp.moveaxis(y, 1, -2)
+    return y.reshape(y.shape[:-2] + (G * x.shape[-1],))
+
+
+def _unpackG(x, G: int, R: int):
+    """(bs/G, T, G*R) -> (bs, T, R): inverse of :func:`_packG` on mu."""
+    bsG, T = x.shape[0], x.shape[1]
+    y = x.reshape(bsG, T, G, R)
+    return jnp.moveaxis(y, 2, 1).reshape(bsG * G, T, R)
 
 
 def pallas_invariants(fused_loss, cfg, fuse_freeze: bool) -> Dict:
@@ -783,6 +823,21 @@ def pallas_invariants(fused_loss, cfg, fuse_freeze: bool) -> Dict:
         axis=1)[:, None]                                    # (bs, 1, 2)
     inv["gscale"] = 1.0 / (bs * R * jnp.clip(
         jnp.mean(fused_loss.valid_r), 1e-2))
+    # guidance_pallas_pack: G scenes side-by-side in lanes — every operand
+    # becomes (bs/G, ..., G*R) with per-scene constants broadcast to their
+    # own lane columns; th0/v0 ride as (2, G*R) rows instead of a (1, 2)
+    # scalar tile (the kernel branches on the block shape)
+    G = _eff_pack(cfg, bs, fuse_freeze)
+    inv["pack"] = G
+    if G > 1:
+        pk = lambda x: _packG(x, G, R)
+        inv["geo_ins"] = [pk(g) for g in inv["geo_ins"]]
+        for k in ("crad_in", "cvalid_in", "stlp_in", "nf_in",
+                  "valid_in", "keep_in"):
+            inv[k] = pk(inv[k])
+        inv["scal_in"] = pk(jnp.concatenate(
+            [fused_loss.th0.reshape(bs, 1), fused_loss.v0.reshape(bs, 1)],
+            axis=1)[..., None])                             # (bs/G, 2, G*R)
     return inv
 
 
@@ -794,8 +849,9 @@ def warm_invariants(fused_loss, cfg) -> None:
     Always overwrites: the cached values are tracers of the CURRENT trace;
     a conditional refresh could hand a later re-trace of the same loss
     object stale tracers from a dead trace."""
-    key = (bool(cfg.guidance_pallas_fuse_freeze),
-           bool(getattr(cfg, "guidance_pallas_fold2", False)))
+    ff = bool(cfg.guidance_pallas_fuse_freeze)
+    key = (ff, bool(getattr(cfg, "guidance_pallas_fold2", False)),
+           _eff_pack(cfg, fused_loss.bs, ff))
     inv = pallas_invariants(fused_loss, cfg, key[0])
     # pin the invariant arrays as materialized values: without the
     # barrier XLA re-fuses their layout-change + multiply-add producers
@@ -836,7 +892,8 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
     fold2 = fuse_freeze and bool(getattr(cfg, "guidance_pallas_fold2",
                                          False))
     cache = getattr(fused_loss, "_pallas_inv", None)
-    if cache is not None and cache[0] == (fuse_freeze, fold2):
+    ckey = (fuse_freeze, fold2, _eff_pack(cfg, bs, fuse_freeze))
+    if cache is not None and cache[0] == ckey:
         inv = cache[1]
     else:
         inv = pallas_invariants(fused_loss, cfg, fuse_freeze)
@@ -986,32 +1043,45 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
         unfold = lambda x: jnp.moveaxis(x.reshape(T, bs, R), 1, 0)
         return jnp.stack([unfold(outw), unfold(outa)], axis=2)
 
-    spec = lambda *shape: pl.BlockSpec(
-        (1,) + shape, lambda i: (i,) + (0,) * len(shape))
+    # guidance_pallas_pack: the invariants (and is_keep/scal) are already
+    # packed (bs/G, ..., G*R); pack mu the same way and run a bs/G grid —
+    # every block spec below derives from its operand's shape so the G=1
+    # and packed layouts share this dispatch
+    G = inv.get("pack", 1) if fuse_freeze else 1
+    if G > 1:
+        muw, mua = _packG(muw, G, R), _packG(mua, G, R)     # (bs/G, T, G*R)
+    mk = lambda x: pl.BlockSpec(
+        (1,) + x.shape[1:],
+        lambda i, n=x.ndim - 1: (i,) + (0,) * n)
     rep = lambda *shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape))
-    tail_specs = [spec(K, T, 1), spec(K, T, 1),             # crad, cvalid
-                  spec(6, R), spec(3, R),                   # stlp, norm
-                  spec(1, R), spec(1, R),                   # valid, is_keep
-                  spec(1, 2),                               # th0, v0
-                  rep(1, 3)]                                # beta/thres/gscale
     tail_ins = (crad_in, cvalid_in, stlp_in, nf_in, valid_in, keep_in,
-                scal_in, gvec_in)
+                scal_in)
+    tail_specs = [mk(x) for x in tail_ins] + [rep(1, 3)]
+    tail_ins = tail_ins + (gvec_in,)
     if fuse_freeze:
         kern = functools.partial(_kernel_fused, p)
-        mid_specs = ([spec(S, R)] * 3                       # lane polylines
-                     + [spec(K, nLn, T, 1)] * 2)            # neighbor discs
         mid_ins = geo_ins
     else:
         kern = functools.partial(_kernel, p)
-        mid_specs = [spec(T, R)] * 7 + [spec(K, T, R)] * 3
         mid_ins = lane_ins + clear_ins
+    mid_specs = [mk(x) for x in mid_ins]
+    kwargs = {}
+    if not interpret and G > 1:
+        # the packed program's working set is G x the per-scene one;
+        # keep headroom above Mosaic's 16 MiB default scoped VMEM
+        from jax.experimental.pallas import tpu as pltpu
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     outw, outa = pl.pallas_call(
         kern,
-        grid=(bs,),
-        in_specs=[spec(T, R), spec(T, R)] + mid_specs + tail_specs,
-        out_specs=[spec(T, R), spec(T, R)],
-        out_shape=[jax.ShapeDtypeStruct((bs, T, R), f32)] * 2,
+        grid=(muw.shape[0],),
+        in_specs=[mk(muw), mk(mua)] + mid_specs + tail_specs,
+        out_specs=[mk(muw), mk(muw)],
+        out_shape=[jax.ShapeDtypeStruct(muw.shape, f32)] * 2,
         interpret=interpret,
+        **kwargs,
     )(muw, mua, *mid_ins, *tail_ins)
+    if G > 1:
+        outw, outa = _unpackG(outw, G, R), _unpackG(outa, G, R)
     return jnp.stack([outw, outa], axis=2)                  # (bs, T, 2, R)

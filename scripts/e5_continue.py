@@ -1,10 +1,13 @@
-"""Continue e5 DDPM training from its checkpoint (+140 epochs).
+"""Continue e5 DDPM training from an existing checkpoint.
 
-Round-2 quality scaling: open/closed-loop compliance rose monotonically
+Round-2/3 quality scaling: open/closed-loop compliance rose monotonically
 with e5 budget (150 -> 290 epochs: open-loop 0.411 -> 0.457, closed-loop
 +guidance 0.703 -> 0.851), so this is the knob future rounds should keep
-turning.  Saves models_e5b; scripts/e7_v2_retrain.py (E7V2_SRC=models_e5b)
-builds the RefineNet on top.
+turning.  Saves E5B_DST (default models_e5b);
+scripts/e7_v2_retrain.py (E7V2_SRC=models_e5b) builds the RefineNet on top.
+
+Env: E2E_OUT (exps/e2e_r2), E5B_EPOCHS (140), E5B_SRC (models_e5),
+E5B_DST (models_e5b).
 """
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -14,14 +17,17 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 from pstl_tpu import train
 from pstl_tpu.config import PRESETS
 from pstl_tpu.data.dataset import SceneDataset
-OUT = "exps/e2e_r2"
+OUT = os.environ.get("E2E_OUT", "exps/e2e_r2")
+EPOCHS = int(os.environ.get("E5B_EPOCHS", "140"))
+SRC = os.environ.get("E5B_SRC", "models_e5")
+DST = os.environ.get("E5B_DST", "models_e5b")
 T0 = time.time()
 def log(m): print(f"[{time.time()-T0:7.1f}s] {m}", flush=True)
 base = dict(n_randoms=64, n_neighbors=8, batch_size=16)
 cfg = PRESETS["e5_ddpm"].with_(**base).with_(
-    epochs=140, net_pretrained_path=os.path.join(OUT, "models_e5"))
+    epochs=EPOCHS, net_pretrained_path=os.path.join(OUT, SRC))
 ds = SceneDataset.load(os.path.join(OUT, "cache_aug.npz"), cfg)
-log("continuing e5 +140 epochs...")
+log(f"continuing e5 from {SRC} +{EPOCHS} epochs...")
 st = train.train(cfg.with_(exp_name=None), ds, log=log)
-train.save_checkpoint(os.path.join(OUT, "models_e5b"), st, 0)
-log("saved models_e5b")
+train.save_checkpoint(os.path.join(OUT, DST), st, 0)
+log(f"saved {DST}")

@@ -191,6 +191,47 @@ def test_fold2_config_coupling():
     assert c.guidance_pallas_fuse_freeze and c.guidance_pallas
 
 
+@pytest.mark.parametrize("pack", [2, 4])
+def test_pack_matches_grid(pack):
+    """guidance_pallas_pack: G scenes side-by-side in the lane axis must
+    reproduce the per-scene fuse_freeze grid exactly — packing is a pure
+    column re-layout (per-scene constants pre-broadcast to their own lane
+    columns on the host; the loss sum decouples per column)."""
+    cfg, fused, mu = _setup(seed=17, bs=4)
+    mu_cm = fused._to_cand_minor(mu)
+    beta_t = jnp.asarray(0.02, jnp.float32)
+    run = lambda c: np.asarray(pallas_guidance.guidance_adam_cm(
+        fused, None, mu_cm, beta_t, 100.0, c, interpret=True,
+        fuse_freeze=True))
+    grid = run(cfg)
+    if hasattr(fused, "_pallas_inv"):
+        del fused._pallas_inv
+    packed = run(cfg.with_(guidance_pallas_pack=pack).finalize())
+    np.testing.assert_allclose(packed, grid, rtol=1e-6, atol=1e-7)
+
+
+def test_pack_fallback_and_coupling():
+    """pack falls back to 1 when bs % G != 0 (bs=2, G=4) and finalize
+    rejects pack combined with the folded variants."""
+    cfg, fused, mu = _setup(seed=18)                 # bs=2
+    mu_cm = fused._to_cand_minor(mu)
+    beta_t = jnp.asarray(0.02, jnp.float32)
+    run = lambda c: np.asarray(pallas_guidance.guidance_adam_cm(
+        fused, None, mu_cm, beta_t, 100.0, c, interpret=True,
+        fuse_freeze=True))
+    grid = run(cfg)
+    if hasattr(fused, "_pallas_inv"):
+        del fused._pallas_inv
+    fell_back = run(cfg.with_(guidance_pallas_pack=4).finalize())
+    np.testing.assert_allclose(fell_back, grid, rtol=1e-6, atol=1e-7)
+    c = Config(diffusion=True, guidance=True,
+               guidance_pallas_pack=2).finalize()
+    assert c.guidance_pallas_fuse_freeze and c.guidance_pallas
+    with pytest.raises(ValueError):
+        Config(diffusion=True, guidance=True, guidance_pallas_pack=2,
+               guidance_pallas_fold2=True).finalize()
+
+
 def test_fused_freeze_flag_path():
     """cfg.guidance_pallas_fuse_freeze routes the sampler's guidance step
     through the freeze+Adam kernel and matches the default path."""
