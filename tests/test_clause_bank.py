@@ -12,6 +12,7 @@ from tests.test_specs import make_batch
 
 @pytest.mark.parametrize("norm_stl", [False, True])
 @pytest.mark.parametrize("hard", [False, True])
+@pytest.mark.slow
 def test_bank_matches_formulas(norm_stl, hard):
     cfg = Config(diffusion=True, n_randoms=4, n_neighbors=2,
                  norm_stl=norm_stl)
@@ -39,6 +40,7 @@ def test_bank_matches_formulas(norm_stl, hard):
                                    atol=2e-4, err_msg=f"formula {i}")
 
 
+@pytest.mark.slow
 def test_bank_gradients_match():
     cfg = Config(diffusion=True, n_randoms=4, n_neighbors=2)
     batch = make_batch(cfg, bs=2)

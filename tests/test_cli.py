@@ -35,6 +35,7 @@ def test_config_overrides(tmp_path):
         assert f["neighbors"].shape[1] == 2
 
 
+@pytest.mark.slow
 def test_data_then_trajopt(tmp_path):
     cache = str(tmp_path / "cache.npz")
     aug = str(tmp_path / "aug.npz")
@@ -46,6 +47,7 @@ def test_data_then_trajopt(tmp_path):
         assert "params" in f.files and "tj_scores_prior" in f.files
 
 
+@pytest.mark.slow
 def test_cli_sim_smoke(tmp_path, capsys, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cli.main(["sim", "--scenes", "2", "--scene-len", "8", "--steps", "2",
@@ -56,6 +58,7 @@ def test_cli_sim_smoke(tmp_path, capsys, monkeypatch):
     assert '"collide"' in out and '"progress"' in out
 
 
+@pytest.mark.slow
 def test_cli_eval_smoke(tmp_path, capsys, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cache = str(tmp_path / "c.npz")
@@ -80,6 +83,7 @@ def test_cli_check_smoke(tmp_path, capsys, monkeypatch):
     assert "ACC:" in out
 
 
+@pytest.mark.slow
 def test_cli_sim_test_aggressive(tmp_path, capsys, monkeypatch):
     """--test_aggressive: 3 repeats of one scene under the per-episode
     aggressive stlp presets (nusc_sim.py:444-465)."""

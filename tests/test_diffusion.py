@@ -103,6 +103,7 @@ def make_sampler_setup(cfg, bs=1, guidance=False, fused=False):
             signal_base, ctx, n)
 
 
+@pytest.mark.slow
 def test_reverse_sampler_shapes_and_determinism():
     cfg = small_cfg()
     (apply_fn, dense, feature, states_flat, coeffs, formulas, signal_base,
@@ -125,6 +126,7 @@ def test_reverse_sampler_shapes_and_determinism():
     assert np.abs(np.asarray(c3) - np.asarray(controls)).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_guidance_improves_robustness():
     """Guided sampling must score no worse than unguided (same key)."""
     cfg = small_cfg(guidance=True, guidance_niters=2, guidance_lr=0.05)
@@ -166,6 +168,7 @@ def test_guidance_trigger_schedule():
     assert list(trig) == want
 
 
+@pytest.mark.slow
 def test_guidance_sel_every():
     """guidance_sel_every: (a) the static refresh schedule counts only
     GUIDED steps; (b) with a single guided step the carried-selection path
@@ -200,6 +203,7 @@ def test_guidance_sel_every():
     assert np.isfinite(np.asarray(c)).all()
 
 
+@pytest.mark.slow
 def test_multi_cands_selection():
     cfg = small_cfg()
     (apply_fn, dense, feature, states_flat, coeffs, formulas, signal_base,
@@ -280,6 +284,7 @@ def test_guidance_positive_offset_quirk_parity():
     assert (a_cols[0] >= -1e-9).all() and (a_cols[1] <= 1e-9).all()
 
 
+@pytest.mark.slow
 def test_cm_sampler_layout_parity(monkeypatch):
     """cfg.cm_sampler: (a) models.make_cm_eps_fn equals the flax diffusion
     forward on matched inputs (the linear layer-1 split is exact in fp32);
@@ -443,6 +448,7 @@ def _superstep_equality(trig_kws):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_superstep_matches_cm_sampler():
     _superstep_equality(({},))                     # always-guided
 

@@ -10,6 +10,7 @@ from pstl_tpu.data.dataset import SceneDataset, batch_iterator
 from pstl_tpu.models import Net
 
 
+@pytest.mark.slow
 def test_eval_runs_and_reports():
     cfg = Config(diffusion=True, rect_head=True, diverse_loss=True,
                  multi_cands=2, n_randoms=2, sampling_size=2, n_shards=2,

@@ -328,6 +328,7 @@ def test_sim_observe_uses_per_t_validity_and_labels():
                                samples[0]["leftlane_wpts"], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mock_cache_trains_and_simulates():
     """The judge-facing integration: mocked-devkit cache -> SceneDataset ->
     one train step AND the closed-loop sim consume it end-to-end."""
@@ -374,6 +375,7 @@ def test_mock_cache_trains_and_simulates():
     assert np.all(np.asarray(out["progress"]) >= 0)
 
 
+@pytest.mark.slow
 def test_mock_cache_cli_chain(tmp_path, capsys, monkeypatch):
     """VERDICT r2 #2c: one command chain from a (mock) NuScenes root to a
     Table-II row — extract -> trajopt -> train -> eval -> sim, each through

@@ -43,6 +43,7 @@ def test_hull_area_degenerate():
     assert float(metrics.hull_area(pts, mask2)[0]) <= 1e-5
 
 
+@pytest.mark.slow
 def test_hull_area_matches_qhull_random():
     from scipy.spatial import ConvexHull
     rng = np.random.RandomState(3)

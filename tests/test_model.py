@@ -38,6 +38,7 @@ def test_pos_encoding_shape_and_range():
     assert float(jnp.abs(enc).max()) <= 1.0 + 1e-6
 
 
+@pytest.mark.slow
 def test_diffusion_forward_shapes():
     cfg = base_cfg(diffusion=True)
     net = Net(cfg)
@@ -125,6 +126,7 @@ def rect_setup(cfg):
     return net, params, dense, feature, n
 
 
+@pytest.mark.slow
 def test_rect_noop_on_satisfying_samples():
     cfg = base_cfg(diffusion=True, rect_head=True, diverse_loss=True).finalize()
     cfg = cfg.with_(n_randoms=4, n_neighbors=2, compute_dtype="float32",

@@ -76,6 +76,7 @@ def _run_both(cfg, fused, mu, thres=100.0, beta=0.02):
 
 
 @pytest.mark.parametrize("norm_stl", [False, True])
+@pytest.mark.slow
 def test_kernel_matches_xla(norm_stl):
     cfg, fused, mu = _setup(norm_stl=norm_stl, seed=1)
     xla, pal = _run_both(cfg, fused, mu)
@@ -118,6 +119,7 @@ def test_flag_path_matches_default():
 
 
 @pytest.mark.parametrize("fuse_freeze", [False, True])
+@pytest.mark.slow
 def test_fold_variants_match(fuse_freeze):
     """Scene-folded dispatch (default), the legacy per-scene grid, and a
     column-chunked fold all compute the identical guided mu — the fold
@@ -139,6 +141,7 @@ def test_fold_variants_match(fuse_freeze):
 
 
 @pytest.mark.parametrize("norm_stl", [False, True])
+@pytest.mark.slow
 def test_fused_freeze_matches_xla(norm_stl):
     """guidance_pallas_fuse_freeze: the in-kernel where-chain freeze must
     reproduce the XLA freeze_cm + Adam loop exactly (selections at the
@@ -159,6 +162,7 @@ def test_fused_freeze_matches_xla(norm_stl):
 
 
 @pytest.mark.parametrize("norm_stl", [False, True])
+@pytest.mark.slow
 def test_fold2_matches_grid(norm_stl):
     """_kernel_fused_f2 (column-chunk grid + in-kernel MXU scene
     broadcast) must reproduce the per-scene-grid fuse_freeze kernel: the
@@ -192,6 +196,7 @@ def test_fold2_config_coupling():
 
 
 @pytest.mark.parametrize("pack", [2, 4])
+@pytest.mark.slow
 def test_pack_matches_grid(pack):
     """guidance_pallas_pack: G scenes side-by-side in the lane axis must
     reproduce the per-scene fuse_freeze grid exactly — packing is a pure
@@ -210,6 +215,7 @@ def test_pack_matches_grid(pack):
     np.testing.assert_allclose(packed, grid, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_pack_fallback_and_coupling():
     """pack falls back to 1 when bs % G != 0 (bs=2, G=4) and finalize
     rejects pack combined with the folded variants."""
@@ -232,6 +238,7 @@ def test_pack_fallback_and_coupling():
                guidance_pallas_fold2=True).finalize()
 
 
+@pytest.mark.slow
 def test_fused_freeze_flag_path():
     """cfg.guidance_pallas_fuse_freeze routes the sampler's guidance step
     through the freeze+Adam kernel and matches the default path."""
@@ -258,6 +265,7 @@ def test_config_couplings():
                robustness_dtype="bfloat16").finalize()
 
 
+@pytest.mark.slow
 def test_kernel_actually_guides():
     """The kernel's output must differ from its input (non-trivial update)
     and stay within the beta trust region of it."""

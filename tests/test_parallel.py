@@ -53,6 +53,7 @@ def test_global_batch_from_local_single_process():
     assert len(out["x"].sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_closed_loop_sharded_matches_unsharded():
     """VERDICT r1 item 8: the closed-loop planner sharded over the 8-device
     CPU mesh must produce the same per-scene metrics as the unsharded run
@@ -105,6 +106,7 @@ def test_closed_loop_sharded_matches_unsharded():
 
 
 @pytest.mark.parametrize("blend", [False, True])
+@pytest.mark.slow
 def test_closed_loop_candidate_sharded_matches_unsharded(blend):
     """Candidate-axis (tensor-parallel) sharding: a SINGLE scene planned
     with the candidate fan sharded over a 4-device "cand" mesh must match

@@ -43,6 +43,7 @@ def mean_score(cfg, signal_base, formulas, dense, states_flat, u):
     return float(specs.mask_mean(s, valid)), float(acc)
 
 
+@pytest.mark.slow
 def test_raw_refinement_improves(setup):
     cfg, dense, signal_base, formulas, states_flat, n, score_rows, valid = setup
     rng = np.random.RandomState(0)

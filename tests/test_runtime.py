@@ -98,6 +98,7 @@ def test_split_file_roundtrip(tmp_path):
         np.testing.assert_array_equal(ds.splits[k], old[k])
 
 
+@pytest.mark.slow
 def test_train_epoch_via_shard_store(tmp_path, monkeypatch):
     """cfg.use_shard_store: one training epoch served entirely by the C++
     gather/prefetch path produces finite losses."""

@@ -45,6 +45,7 @@ def setup():
     return cfg, data, scenes, net, formulas, coeffs, params
 
 
+@pytest.mark.slow
 def test_observe_shapes(setup):
     cfg, data, scenes, *_ = setup
     one = jax.tree_util.tree_map(lambda x: x[0], scenes)
@@ -110,6 +111,7 @@ def test_gt_replay_stays_in_lane(setup):
         assert not bool(ool), f"GT replay out of lane at t={t}"
 
 
+@pytest.mark.slow
 def test_closed_loop_host_record_and_render(setup, tmp_path):
     cfg, data, scenes, net, formulas, coeffs, params = setup
     out = sim.run_closed_loop_host(
@@ -123,6 +125,7 @@ def test_closed_loop_host_record_and_render(setup, tmp_path):
     assert gifs and frames
 
 
+@pytest.mark.slow
 def test_closed_loop_episode_runs(setup):
     cfg, data, scenes, net, formulas, coeffs, params = setup
     out = jax.jit(lambda k: sim.run_closed_loop(
@@ -134,6 +137,7 @@ def test_closed_loop_episode_runs(setup):
     assert np.all(np.isfinite(np.asarray(out["progress"])))
 
 
+@pytest.mark.slow
 def test_closed_loop_vae_planner():
     """VAE (e3/e6 Table-II rows) drives the closed-loop planner."""
     import jax

@@ -48,6 +48,7 @@ def make_batch(cfg, bs=3, seed=0):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+@pytest.mark.slow
 def test_calibrated_gt_satisfies_own_spec(cfg):
     """The reference's --check_stl_params golden test (nusc_train.py:816-875):
     GT trajectories must satisfy the spec calibrated from themselves."""
@@ -97,6 +98,7 @@ def test_densify_shapes(cfg):
     np.testing.assert_allclose(np.asarray(dense["valids_dense"][:, 2]), 0.0)
 
 
+@pytest.mark.slow
 def test_dense_stlp_keeps_gt_on_label(cfg):
     """Rows whose maneuver matches the GT label carry the calibrated params."""
     bs = 2
@@ -135,6 +137,7 @@ def test_outlier_rows_score_one(cfg):
     np.testing.assert_allclose(np.asarray(scores), 1.0)
 
 
+@pytest.mark.slow
 def test_scores_jit_and_grad(cfg):
     """The scoring path must be jittable and differentiable w.r.t. the
     trajectory (this is the guidance gradient path)."""
@@ -213,6 +216,7 @@ class TestTiledScorer:
             dense["valids_dense"].reshape(-1), cfg)
         return scores
 
+    @pytest.mark.slow
     def test_matches_clausebank(self):
         for norm_stl in (False, True):
             cfg, batch, dense, trajs = self._setup(norm_stl)
@@ -235,6 +239,7 @@ class TestTiledScorer:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.slow
     def test_candminor_guidance_loss_matches(self):
         """The candidate-minor fused guidance loss equals the fallback
         rollout+TiledScorer hinge loss (values to fp tolerance; grads up
@@ -287,6 +292,7 @@ class TestTiledScorer:
         back = fused._from_cand_minor(fused._to_cand_minor(mu))
         np.testing.assert_array_equal(np.asarray(back), np.asarray(mu))
 
+    @pytest.mark.slow
     def test_frozen_selection_guidance(self):
         """cfg.guidance_reuse_selection: selections frozen at the same mu
         give EXACTLY the unfrozen loss and gradient (both paths
@@ -368,6 +374,7 @@ class TestTiledScorer:
         l1 = float(jax.jit(lambda m: fused2(m, 100.0))(mu))
         np.testing.assert_allclose(l1, l0, rtol=1e-3)
 
+    @pytest.mark.slow
     def test_geometry_dtype_bf16(self):
         """cfg.geometry_dtype=bfloat16 stores the selection fields and
         frozen payloads in bf16 (the guidance loop's HBM traffic); the
@@ -410,6 +417,7 @@ class TestTiledScorer:
             lambda m: f16(m, 100.0, frozen=frozen))(mu))
         assert abs(l16f - l16) < 0.05 * max(abs(l16), 1.0), (l16f, l16)
 
+    @pytest.mark.slow
     def test_blend_scores_matches_sliced(self):
         """cfg.guidance_blend_scores (the candidate-sharding-friendly
         all-R + is_keep-mask variant) must equal the sliced keep/change
@@ -463,6 +471,7 @@ class TestTiledScorer:
         l_c = float(jax.jit(lambda m: fc(m, 100.0, frozen=froz_c))(mu))
         assert abs(l_c - l_e) < 0.05 * max(abs(l_e), 1.0), (l_c, l_e)
 
+    @pytest.mark.slow
     def test_gradient_matches(self):
         cfg, batch, dense, trajs = self._setup(True, seed=4)
         scorer = specs.TiledScorer(batch, dense["stlp_dense"], cfg)
@@ -481,6 +490,7 @@ class TestTiledScorer:
         np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                    rtol=5e-3, atol=1e-5)
 
+    @pytest.mark.slow
     def test_vmap_over_candidates(self):
         cfg, batch, dense, trajs = self._setup(False, seed=6)
         scorer = specs.TiledScorer(batch, dense["stlp_dense"], cfg)

@@ -34,6 +34,7 @@ def setup(cfg):
     return ds, formulas, coeffs, net, batch, state, opt
 
 
+@pytest.mark.slow
 def test_diffusion_loss_decreases():
     # stl_bc_mask (forced on by finalize) masks eps-MSE to STL-satisfying
     # augmented samples; without a trajopt pass none satisfy, so disable it
@@ -51,6 +52,7 @@ def test_diffusion_loss_decreases():
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
 
 
+@pytest.mark.slow
 def test_chunked_epoch_exactly_matches_per_batch():
     """Device-side epoch chunking (cfg.train_chunk) runs the SAME steps
     with the SAME keys — final params must match per-batch dispatch
@@ -69,6 +71,7 @@ def test_chunked_epoch_exactly_matches_per_batch():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_vae_mode_trains():
     cfg = tiny_cfg(vae=True, diffusion=False, bc_weight=1.0)
     ds, formulas, coeffs, net, batch, state, opt = setup(cfg)
@@ -81,6 +84,7 @@ def test_vae_mode_trains():
     assert "loss_vae_kl" in rd
 
 
+@pytest.mark.slow
 def test_bc_mode_trains():
     cfg = tiny_cfg(bc=True, diffusion=False, bc_weight=1.0)
     ds, formulas, coeffs, net, batch, state, opt = setup(cfg)
@@ -89,6 +93,7 @@ def test_bc_mode_trains():
     assert np.isfinite(float(rd["loss"]))
 
 
+@pytest.mark.slow
 def test_rect_only_updates():
     """With rect_head and not joint, only rect_net/merge_net params move
     (nusc_train.py:1229-1233)."""
@@ -117,6 +122,7 @@ def test_rect_only_updates():
     assert any("policy_net" in p for p, _ in frozen), frozen_names
 
 
+@pytest.mark.slow
 def test_train_step_sharded_over_mesh():
     """Full train step over the virtual 8-device mesh."""
     from pstl_tpu.parallel import make_mesh, shard_batch, replicate
@@ -154,6 +160,7 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_mono_gt_data_training():
     """e4 preset path: gt_data_training diffusion (mono branch)."""
     cfg = tiny_cfg(gt_data_training=True)
@@ -189,6 +196,7 @@ def test_gt_nei_false_uses_const_velocity_prediction():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_grad_rollout_trains_through_sampler():
     """--grad_rollout without rect_head runs the sampler inside the loss
     with gradients flowing (loss_stl non-zero weight in the total)."""
