@@ -242,28 +242,65 @@ def _freeze_k(muw0, mua0, geo, st, p):
     out = dict(lx2=x2, ly2=y2, lth2=th2, lx3=x3, ly3=y3,
                lfirst=first, llast=last)
 
-    # nearest (ego-disc, neighbor-disc) pair per (k, t, row): static
-    # nLe x nLn where-chain; flat order e*nLn+nn matches the XLA path's
-    # pi//nLn, pi%nLn decomposition
+    # nearest (ego-disc, neighbor-disc) pair per (k, t, row).  Exact:
+    # static nLe x nLn where-chain, flat order e*nLn+nn matching the XLA
+    # path's pi//nLn, pi%nLn decomposition.  Coarse (p["coarse"], mirrors
+    # specs._clear_select's cfg.clearance_coarse_pair branch exactly):
+    # nearest ego disc to the NEIGHBOR CENTER first (nLe distances), then
+    # nearest neighbor disc to that ego disc (nLn) — nLe+nLn chain steps
+    # instead of nLe*nLn (the "shrink the freeze where-chain" lever,
+    # docs/PERF.md round-4 #4).
+    def _axe(e):
+        alpha = e / max(p["nLe"] - 1, 1)
+        return ((-p["ego_L"] / 2 + p["re"]) * (1 - alpha)
+                + (p["ego_L"] / 2 - p["re"]) * alpha)        # python float
+
     caxe, cnx, cny = [], [], []
     for k in range(K):
-        best2 = big
         a_sel = nx_sel = ny_sel = zero
-        for e in range(p["nLe"]):
-            alpha = e / max(p["nLe"] - 1, 1)
-            axe_e = ((-p["ego_L"] / 2 + p["re"]) * (1 - alpha)
-                     + (p["ego_L"] / 2 - p["re"]) * alpha)   # python float
-            exd = x_s + axe_e * cth
-            eyd = y_s + axe_e * sth
+        if p.get("coarse"):
+            ncx = geo["ndx"][k][0]
+            ncy = geo["ndy"][k][0]
+            for nn in range(1, nLn):
+                ncx = ncx + geo["ndx"][k][nn]
+                ncy = ncy + geo["ndy"][k][nn]
+            ncx, ncy = ncx / nLn, ncy / nLn                  # disc centroid
+            beste = big
+            ex_sel = ey_sel = zero
+            for e in range(p["nLe"]):
+                axe_e = _axe(e)
+                exd = x_s + axe_e * cth
+                eyd = y_s + axe_e * sth
+                de = (exd - ncx) ** 2 + (eyd - ncy) ** 2
+                better = de < beste
+                beste = jnp.where(better, de, beste)
+                a_sel = jnp.where(better, axe_e, a_sel)
+                ex_sel = jnp.where(better, exd, ex_sel)
+                ey_sel = jnp.where(better, eyd, ey_sel)
+            best2 = big
             for nn in range(nLn):
                 ndx = geo["ndx"][k][nn]                      # (T, 1|C)
                 ndy = geo["ndy"][k][nn]
-                d2 = (exd - ndx) ** 2 + (eyd - ndy) ** 2
+                d2 = (ex_sel - ndx) ** 2 + (ey_sel - ndy) ** 2
                 better = d2 < best2
                 best2 = jnp.where(better, d2, best2)
-                a_sel = jnp.where(better, axe_e, a_sel)
                 nx_sel = jnp.where(better, ndx, nx_sel)
                 ny_sel = jnp.where(better, ndy, ny_sel)
+        else:
+            best2 = big
+            for e in range(p["nLe"]):
+                axe_e = _axe(e)
+                exd = x_s + axe_e * cth
+                eyd = y_s + axe_e * sth
+                for nn in range(nLn):
+                    ndx = geo["ndx"][k][nn]                  # (T, 1|C)
+                    ndy = geo["ndy"][k][nn]
+                    d2 = (exd - ndx) ** 2 + (eyd - ndy) ** 2
+                    better = d2 < best2
+                    best2 = jnp.where(better, d2, best2)
+                    a_sel = jnp.where(better, axe_e, a_sel)
+                    nx_sel = jnp.where(better, ndx, nx_sel)
+                    ny_sel = jnp.where(better, ndy, ny_sel)
         caxe.append(a_sel)
         cnx.append(nx_sel)
         cny.append(ny_sel)
@@ -647,6 +684,7 @@ def superstep_call(fused_loss, mlp_ops, xw_f, xa_f, zw_f, za_f, te_col,
              clip_dist=bool(cfg.clip_dist),
              quirk=bool(cfg.guidance_positive_offset_quirk),
              S=S, nLe=int(cfg.refined_nL), nLn=nLn,
+             coarse=bool(getattr(cfg, "clearance_coarse_pair", False)),
              ego_L=float(cfg.ego_L), re=float(cfg.ego_W) / 2.0,
              bs=bs, R=R, M=fused_loss.M,
              guided=bool(guided), nmid=len(mlp_ops["mid"]),
@@ -916,6 +954,7 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
                  inline=bool(cfg.inline), clip_dist=bool(cfg.clip_dist),
                  quirk=bool(cfg.guidance_positive_offset_quirk),
                  S=S, nLe=int(cfg.refined_nL), nLn=nLn,
+                 coarse=bool(getattr(cfg, "clearance_coarse_pair", False)),
                  ego_L=float(cfg.ego_L), re=float(cfg.ego_W) / 2.0,
                  bs=bs, R=R, M=fused_loss.M)
         gvec_in = jnp.stack(
@@ -983,6 +1022,7 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
     if fuse_freeze:
         S = fused_loss.lxr.shape[1]
         p.update(S=S, nLe=int(cfg.refined_nL), nLn=nLn,
+                 coarse=bool(getattr(cfg, "clearance_coarse_pair", False)),
                  ego_L=float(cfg.ego_L), re=float(cfg.ego_W) / 2.0)
 
     if getattr(cfg, "guidance_pallas_fold", True):

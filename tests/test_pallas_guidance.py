@@ -17,11 +17,12 @@ from pstl_tpu.ops import pallas_guidance
 
 
 def _setup(norm_stl=False, quirk=False, niters=3, seed=0, bs=2, M=4,
-           inline=False, clip_dist=False):
+           inline=False, clip_dist=False, coarse=False):
     cfg = Config(diffusion=True, n_randoms=M, n_neighbors=3, nt=20,
                  flex=True, norm_stl=norm_stl, guidance=True,
                  guidance_niters=niters, guidance_reuse_selection=True,
                  inline=inline, clip_dist=clip_dist,
+                 clearance_coarse_pair=coarse,
                  guidance_positive_offset_quirk=quirk).finalize()
     rng = np.random.RandomState(seed)
     k, T, S = cfg.n_neighbors, cfg.nt, cfg.n_segs
@@ -159,6 +160,36 @@ def test_fused_freeze_matches_xla(norm_stl):
     pal = fused._from_cand_minor(pal_cm)
     np.testing.assert_allclose(np.asarray(pal), np.asarray(xla),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_fused_freeze_coarse_pair_matches_xla():
+    """cfg.clearance_coarse_pair with fuse_freeze: the in-kernel two-stage
+    (ego-disc-to-centroid, then neighbor-disc) selection must reproduce
+    the XLA specs._clear_select coarse branch exactly — before this test
+    the kernel silently ignored the flag and used the exact nLe*nLn pair
+    argmin."""
+    cfg, fused, mu = _setup(seed=13, coarse=True)
+    assert cfg.clearance_coarse_pair
+    mu_cm = fused._to_cand_minor(mu)
+    frozen = fused.freeze_cm(mu_cm)
+    beta_t = jnp.asarray(0.02, jnp.float32)
+    ctx = diffusion.make_guidance_ctx(None, fused.valid_r, None, fused)
+    xla = diffusion._guidance_step(mu, beta_t, ctx, cfg, maximize=True,
+                                   frozen=frozen)
+    pal_cm = pallas_guidance.guidance_adam_cm(
+        fused, None, mu_cm, beta_t, 100.0, cfg, interpret=True,
+        fuse_freeze=True)
+    pal = fused._from_cand_minor(pal_cm)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(xla),
+                               rtol=2e-4, atol=2e-5)
+    # and the coarse selection must actually differ from the exact one on
+    # at least some rows for this geometry (otherwise the test is vacuous)
+    cfg_x, fused_x, mu_x = _setup(seed=13, coarse=False)
+    pal_x = fused_x._from_cand_minor(pallas_guidance.guidance_adam_cm(
+        fused_x, None, fused_x._to_cand_minor(mu_x), beta_t, 100.0, cfg_x,
+        interpret=True, fuse_freeze=True))
+    assert not np.allclose(np.asarray(pal), np.asarray(pal_x))
 
 
 @pytest.mark.parametrize("norm_stl", [False, True])
