@@ -36,3 +36,33 @@ done
 run python scripts/fast_sampler_eval.py exps/r4/models_e7v2 exps/r4/fast_sampler.json
 run python scripts/entropy_sweep_r4.py exps/r4/models_e7v2
 echo "PIPELINE DONE" >>"$LOG"
+
+# ---- flagship continuation (entropy lever, VERDICT r3 #2) ---------------
+# Round-2/3 scaling: entropy tracks e5 budget (150 ep -> 1.21, 320 ep ->
+# 1.61; reference Table-I best 1.735).  Continue e5 +150 epochs on the
+# low-speed cache, rebuild the STL-hinge RefineNet on top (ours_v3 rows),
+# then A/B a stronger DPP diversity weight (the r3c sweep that never ran
+# to completion).
+if [ ! -e exps/r4/models_e5b/LAST ]; then
+  run env E5B_EPOCHS=150 python scripts/e5_continue.py
+fi
+if [ ! -e exps/r4/models_e7v3/LAST ]; then
+  run env E7V2_SKIP_SIM=1 E7V2_SRC=models_e5b E7V2_DST=models_e7v3 \
+      E7V2_TAG=ours_v3 python scripts/e7_v2_retrain.py
+fi
+if [ ! -e exps/r4/models_e7v3_dw2/LAST ]; then
+  run env E7V2_SKIP_SIM=1 E7V2_SRC=models_e5b E7V2_DST=models_e7v3_dw2 \
+      E7V2_TAG=ours_v3_dw2 E7V2_OVERRIDES="diversity_weight=2.0" \
+      python scripts/e7_v2_retrain.py
+fi
+# closed-loop rows for the flagship checkpoint (shielded + STRICT)
+ROWS3=exps/r4/closed_loop_rows_v3.jsonl
+if [ ! -s "$ROWS3" ]; then
+  for flags in "--guidance" "--guidance --strict"; do
+    echo "=== closed_loop_eval v3 $flags ===" >>"$LOG"
+    # shellcheck disable=SC2086
+    python scripts/closed_loop_eval.py exps/r4/models_e7v3 $flags \
+        2>>"$LOG" | tee -a "$LOG" | tail -1 >>"$ROWS3"
+  done
+fi
+echo "FLAGSHIP DONE" >>"$LOG"
