@@ -157,7 +157,7 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     ckpt = os.environ.get("BENCH_CKPT")
     if not ckpt:   # newest committed checkpoint wins
-        for name in ("e7_round3", "e7_round2", "e7_round1"):
+        for name in ("e7_round4", "e7_round3", "e7_round2", "e7_round1"):
             cand = os.path.join(here, "checkpoints", name)
             if os.path.isdir(cand):
                 ckpt = cand
