@@ -1,7 +1,10 @@
 #!/bin/bash
-# Round-4 evidence pipeline: regenerates exps/r4 end-to-end.
+# Round-4/5 evidence pipeline: regenerates exps/r4 end-to-end.
 #
-# Stages (each idempotent — re-running skips completed work):
+# Stages (each idempotent — re-running skips completed work; closed-loop
+# rows are written to per-config files under exps/r4/rows/ first and only
+# assembled into the JSONL when every row exists, so a crashed eval can
+# never leave a garbage line in the evidence file):
 #   1. data: 768 synthetic scenes WITH low-speed/near-stop coverage
 #      (synth_low_speed_frac=0.25 — strict-OOL reversal fix, VERDICT r3 #3)
 #      + trajopt augmentation
@@ -10,59 +13,87 @@
 #      ref_parity} + backup A/B  -> exps/r4/closed_loop_rows.jsonl
 #   4. fast-sampler quality/time rows -> exps/r4/fast_sampler.json
 #   5. sampler-temperature entropy sweep -> exps/r4/entropy_sweep.json
-set -e
+#   6. flagship continuation: e5b +150 epochs -> e7v3 (+ DPP-weight A/B)
+#      -> exps/r4/closed_loop_rows_v3.jsonl
+set -eo pipefail
 cd "$(dirname "$0")/.."
 export E2E_OUT=exps/r4
 export E2E_LOW_SPEED=0.25
-mkdir -p exps/r4
+mkdir -p exps/r4/rows
 LOG=exps/r4/pipeline.log
 touch "$LOG"
 
 run() { echo "=== $* ===" >>"$LOG"; "$@" >>"$LOG" 2>&1; }
 
+# one closed-loop eval -> one row file; skip when the row already exists
+# (non-empty AND valid JSON); the temp-file + mv makes a crash re-runnable
+cl_row() { # cl_row <rowfile> <ckpt> [flags...]
+  local rowf=$1 ckpt=$2; shift 2
+  if [ -s "$rowf" ] && python -c "import json,sys; json.load(open('$rowf'))" \
+      2>/dev/null; then
+    echo "=== skip (done): $rowf ===" >>"$LOG"; return 0
+  fi
+  echo "=== closed_loop_eval $ckpt $* -> $rowf ===" >>"$LOG"
+  python scripts/closed_loop_eval.py "$ckpt" "$@" >"$rowf.tmp" 2>>"$LOG"
+  tail -1 "$rowf.tmp" >"$rowf" && rm -f "$rowf.tmp"
+  python -c "import json; json.load(open('$rowf'))"   # validate or abort
+  cat "$rowf" >>"$LOG"
+}
+
+# ---- 1+2. data + trajopt + e5 + e7v2 ------------------------------------
 run env E2E_METHODS=e5 E2E_STAGES=data,train python scripts/e2e_pipeline.py
-run env E7V2_SKIP_SIM=1 python scripts/e7_v2_retrain.py
+if ! python -c "import json,sys; r=json.load(open('exps/r4/results.json'));
+sys.exit(0 if 'openloop_ours_v2' in r else 1)" 2>/dev/null; then
+  run env E7V2_SKIP_SIM=1 python scripts/e7_v2_retrain.py
+fi
 
+# ---- 3. closed-loop Table-II matrix -------------------------------------
 ROWS=exps/r4/closed_loop_rows.jsonl
-: >"$ROWS"
-for flags in "" "--guidance" "--strict" "--guidance --strict" \
-             "--ref-parity" "--guidance --ref-parity" "--guidance --backup"; do
-  echo "=== closed_loop_eval $flags ===" >>"$LOG"
-  # shellcheck disable=SC2086
-  python scripts/closed_loop_eval.py exps/r4/models_e7v2 $flags \
-      2>>"$LOG" | tee -a "$LOG" | tail -1 >>"$ROWS"
-done
+cl_row exps/r4/rows/v2_plain.json      exps/r4/models_e7v2
+cl_row exps/r4/rows/v2_g.json          exps/r4/models_e7v2 --guidance
+cl_row exps/r4/rows/v2_strict.json     exps/r4/models_e7v2 --strict
+cl_row exps/r4/rows/v2_g_strict.json   exps/r4/models_e7v2 --guidance --strict
+cl_row exps/r4/rows/v2_refpar.json     exps/r4/models_e7v2 --ref-parity
+cl_row exps/r4/rows/v2_g_refpar.json   exps/r4/models_e7v2 --guidance --ref-parity
+cl_row exps/r4/rows/v2_g_backup.json   exps/r4/models_e7v2 --guidance --backup
+cat exps/r4/rows/v2_plain.json exps/r4/rows/v2_g.json \
+    exps/r4/rows/v2_strict.json exps/r4/rows/v2_g_strict.json \
+    exps/r4/rows/v2_refpar.json exps/r4/rows/v2_g_refpar.json \
+    exps/r4/rows/v2_g_backup.json >"$ROWS"
 
-run python scripts/fast_sampler_eval.py exps/r4/models_e7v2 exps/r4/fast_sampler.json
+# ---- 4+5. fast samplers + entropy sweep ---------------------------------
+if [ ! -s exps/r4/fast_sampler.json ]; then
+  run python scripts/fast_sampler_eval.py exps/r4/models_e7v2 \
+      exps/r4/fast_sampler.json
+fi
+# entropy_sweep_r4.py resumes internally (skips cached temps)
 run python scripts/entropy_sweep_r4.py exps/r4/models_e7v2
 echo "PIPELINE DONE" >>"$LOG"
 
-# ---- flagship continuation (entropy lever, VERDICT r3 #2) ---------------
+# ---- 6. flagship continuation (entropy lever, VERDICT r3 #2) ------------
 # Round-2/3 scaling: entropy tracks e5 budget (150 ep -> 1.21, 320 ep ->
 # 1.61; reference Table-I best 1.735).  Continue e5 +150 epochs on the
 # low-speed cache, rebuild the STL-hinge RefineNet on top (ours_v3 rows),
-# then A/B a stronger DPP diversity weight (the r3c sweep that never ran
-# to completion).
+# then A/B a stronger DPP diversity weight.
 if [ ! -e exps/r4/models_e5b/LAST ]; then
   run env E5B_EPOCHS=150 python scripts/e5_continue.py
 fi
-if [ ! -e exps/r4/models_e7v3/LAST ]; then
+if [ ! -e exps/r4/models_e7v3/LAST ] || ! python -c "import json,sys;
+r=json.load(open('exps/r4/results.json'));
+sys.exit(0 if 'openloop_ours_v3' in r else 1)" 2>/dev/null; then
   run env E7V2_SKIP_SIM=1 E7V2_SRC=models_e5b E7V2_DST=models_e7v3 \
       E7V2_TAG=ours_v3 python scripts/e7_v2_retrain.py
 fi
-if [ ! -e exps/r4/models_e7v3_dw2/LAST ]; then
+if [ ! -e exps/r4/models_e7v3_dw2/LAST ] || ! python -c "import json,sys;
+r=json.load(open('exps/r4/results.json'));
+sys.exit(0 if 'openloop_ours_v3_dw2' in r else 1)" 2>/dev/null; then
   run env E7V2_SKIP_SIM=1 E7V2_SRC=models_e5b E7V2_DST=models_e7v3_dw2 \
       E7V2_TAG=ours_v3_dw2 E7V2_OVERRIDES="diversity_weight=2.0" \
       python scripts/e7_v2_retrain.py
 fi
 # closed-loop rows for the flagship checkpoint (shielded + STRICT)
-ROWS3=exps/r4/closed_loop_rows_v3.jsonl
-if [ ! -s "$ROWS3" ]; then
-  for flags in "--guidance" "--guidance --strict"; do
-    echo "=== closed_loop_eval v3 $flags ===" >>"$LOG"
-    # shellcheck disable=SC2086
-    python scripts/closed_loop_eval.py exps/r4/models_e7v3 $flags \
-        2>>"$LOG" | tee -a "$LOG" | tail -1 >>"$ROWS3"
-  done
-fi
+cl_row exps/r4/rows/v3_g.json        exps/r4/models_e7v3 --guidance
+cl_row exps/r4/rows/v3_g_strict.json exps/r4/models_e7v3 --guidance --strict
+cat exps/r4/rows/v3_g.json exps/r4/rows/v3_g_strict.json \
+    >exps/r4/closed_loop_rows_v3.jsonl
 echo "FLAGSHIP DONE" >>"$LOG"
