@@ -9,8 +9,16 @@ argmax — batched over many scenes, with the environment stepped on device
 Baseline: the reference's closed-loop "Ours+guidance" plan time is
 0.379 s/step on a V100-class GPU => ~2.6 agent-steps/sec (BASELINE.md).
 
+Every run measures THREE contract rows (>= 8 timed dispatches each,
+p50/p90 reported):
+  heavy       all-99-step x 3-iteration guidance (round-1 contract; headline)
+  parity      the reference's published guidance schedule (README.md:175:
+              --guidance_before 10 --guidance_niters 1 --multi_cands 5)
+  parity_nog  the reference's no-guidance "Ours" row (0.055 s/plan)
+
 Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "detail":
+   {..., "contracts": {parity row, parity_nog row}}}
 """
 
 import json
@@ -21,25 +29,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_STEPS_PER_SEC = 2.6   # 1 / 0.379s (BASELINE.md table II)
+# apples-to-apples anchors per contract row
+MODE_BASELINE = {
+    "heavy": BASELINE_STEPS_PER_SEC,
+    "parity": BASELINE_STEPS_PER_SEC,
+    "parity_nog": 1.0 / 0.055,   # reference "Ours" Table-II plan time
+}
 
 
-def main():
-    # persistent compile cache: repeat bench runs skip the big XLA compile
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          "/tmp/pstl_tpu_jax_cache")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-    import jax
-    if os.environ.get("BENCH_PLATFORM"):
-        # CPU smoke runs etc. — the container pre-imports jax with the
-        # axon platform pinned, so env vars are too late; config works
-        # because backend selection is lazy
-        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
-    import jax.numpy as jnp
-    from pstl_tpu import diffusion, sim, specs
+def build_cfg(mode):
     from pstl_tpu.config import Config
-    from pstl_tpu.data import synthetic
-    from pstl_tpu.models import Net
 
     # reference "Ours+guidance" closed-loop configuration
     # (README e7 + guidance flags; multi_cands=10, n_rolls=3)
@@ -102,7 +101,6 @@ def main():
     if os.environ.get("BENCH_SCAN_UNROLL"):
         cfg = cfg.with_(
             diffusion_scan_unroll=int(os.environ["BENCH_SCAN_UNROLL"]))
-    mode = os.environ.get("BENCH_MODE", "heavy")
     if mode == "parity":
         # the EXACT guidance schedule behind the reference's published
         # 0.379 s/plan Table-II row (README.md:175: --guidance_before 10
@@ -121,14 +119,16 @@ def main():
         cfg = cfg.with_(sampler=os.environ["BENCH_SAMPLER"],
                         ddim_steps=int(os.environ.get("BENCH_DDIM_STEPS",
                                                       "20")))
+    return cfg
 
-    bs = int(os.environ.get("BENCH_SCENES", "16"))
-    max_steps = int(os.environ.get("BENCH_STEPS", "16"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
-    max_steps = max(max_steps // chunk, 1) * chunk
 
-    data = synthetic.generate_dataset(0, bs, cfg, scene_len=38)
-    scenes = sim.scenes_from_dataset(data)
+def measure(cfg, scenes, bs, max_steps, chunk, ckpt):
+    """Compile + time one contract row; returns (steps/s, detail dict)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pstl_tpu import diffusion, sim, specs
+    from pstl_tpu.models import Net
 
     net = Net(cfg)
     formulas = specs.build_scorer(cfg)
@@ -154,14 +154,6 @@ def main():
         return net.init(key, dense0, ext0, method=Net.init_all)
 
     params = init_params(jax.random.PRNGKey(1))
-    here = os.path.dirname(os.path.abspath(__file__))
-    ckpt = os.environ.get("BENCH_CKPT")
-    if not ckpt:   # newest committed checkpoint wins
-        for name in ("e7_round4", "e7_round3", "e7_round2", "e7_round1"):
-            cand = os.path.join(here, "checkpoints", name)
-            if os.path.isdir(cand):
-                ckpt = cand
-                break
     if ckpt:
         from pstl_tpu import train as _train
         state = _train.TrainState(params, None, 0)
@@ -172,9 +164,8 @@ def main():
                                                  chunk=chunk)
 
     # compile
-    print("# compiling closed-loop step...", file=sys.stderr, flush=True)
     t0 = time.time()
-    c = jax.block_until_ready(step(init_carry(jax.random.PRNGKey(0))))
+    jax.block_until_ready(step(init_carry(jax.random.PRNGKey(0))))
     compile_s = time.time() - t0
     print(f"# compiled in {compile_s:.0f}s", file=sys.stderr, flush=True)
     # timed episodes (steady state). Every step() plans for ALL scenes
@@ -192,34 +183,97 @@ def main():
         chunk_s.append(time.time() - t1)
     out = jax.block_until_ready(sim._carry_metrics(c))
     wall = time.time() - t0
-    agent_steps = float(bs * max_steps)
-    # median per-dispatch time: robust to transient contention on the
-    # shared device tunnel
-    med = sorted(chunk_s)[len(chunk_s) // 2]
-    sps = bs * chunk / med
+    # per-dispatch stats: p50 is the headline (robust to transient
+    # contention on the shared device tunnel), p90 shows the tail
+    p50 = float(np.percentile(chunk_s, 50))
+    p90 = float(np.percentile(chunk_s, 90))
+    sps = bs * chunk / p50
+    detail = {
+        "scenes": bs, "steps_run": float(bs * max_steps),
+        "n_dispatches": len(chunk_s),
+        "dispatch_p50_s": round(p50, 4), "dispatch_p90_s": round(p90, 4),
+        "wall_s": round(wall, 3), "compile_s": round(compile_s, 1),
+        "collide_rate": round(float(out["collide"].mean()), 3),
+        "out_of_lane_rate": round(float(out["out_of_lane"].mean()), 3),
+        "mean_progress_m": round(float(out["progress"].mean()), 2),
+        "stl_compliance": round(float(out["stl_acc"].mean()), 3),
+    }
+    return sps, detail
+
+
+def main():
+    # persistent compile cache: repeat bench runs skip the big XLA compile
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/pstl_tpu_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    import jax
+    if os.environ.get("BENCH_PLATFORM"):
+        # CPU smoke runs etc. — the container pre-imports jax with the
+        # axon platform pinned, so env vars are too late; config works
+        # because backend selection is lazy
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    from pstl_tpu import sim
+    from pstl_tpu.data import synthetic
+
+    mode = os.environ.get("BENCH_MODE", "heavy")
+    bs = int(os.environ.get("BENCH_SCENES", "16"))
+    # >= 8 timed dispatches by default (chunk=8 -> 64 steps)
+    max_steps = int(os.environ.get("BENCH_STEPS", "64"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    max_steps = max(max_steps // chunk, 1) * chunk
+
+    cfg0 = build_cfg(mode)
+    data = synthetic.generate_dataset(0, bs, cfg0, scene_len=38)
+    scenes = sim.scenes_from_dataset(data)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ckpt = os.environ.get("BENCH_CKPT")
+    if not ckpt:   # newest committed checkpoint wins
+        for name in ("e7_round5", "e7_round4", "e7_round3", "e7_round2",
+                     "e7_round1"):
+            cand = os.path.join(here, "checkpoints", name)
+            if os.path.isdir(cand):
+                ckpt = cand
+                break
 
     label = {"heavy": "DDPM T=100 + STL guidance + RefineNet",
              "parity": "DDPM T=100, reference-parity guidance schedule",
              "parity_nog": "DDPM T=100, no guidance (reference 'Ours' row)",
              }.get(mode, mode)
-    # apples-to-apples anchor for the no-guidance mode: the reference's
-    # 0.055 s/plan "Ours" Table-II row instead of the 0.379 s guided one
-    base_sps = (1.0 / 0.055 if mode == "parity_nog"
-                else BASELINE_STEPS_PER_SEC)
+    print(f"# mode={mode}: compiling closed-loop step...",
+          file=sys.stderr, flush=True)
+    sps, detail = measure(cfg0, scenes, bs, max_steps, chunk, ckpt)
+    detail["device"] = str(jax.devices()[0])
+    detail["checkpoint"] = os.path.basename(ckpt) if ckpt else None
+
+    # the other contract rows, in the same emitted JSON every run
+    # (BENCH_ALL_MODES=0 to skip, e.g. for quick A/B sweeps)
+    if os.environ.get("BENCH_ALL_MODES", "1") != "0" and mode == "heavy":
+        contracts = {}
+        for m in ("parity", "parity_nog"):
+            print(f"# mode={m}: compiling closed-loop step...",
+                  file=sys.stderr, flush=True)
+            m_sps, m_detail = measure(build_cfg(m), scenes, bs, max_steps,
+                                      chunk, ckpt)
+            contracts[m] = {
+                "agent_steps_per_sec": round(m_sps, 2),
+                "vs_baseline": round(m_sps / MODE_BASELINE[m], 2),
+                "dispatch_p50_s": m_detail["dispatch_p50_s"],
+                "dispatch_p90_s": m_detail["dispatch_p90_s"],
+                "n_dispatches": m_detail["n_dispatches"],
+                "stl_compliance": m_detail["stl_compliance"],
+                "collide_rate": m_detail["collide_rate"],
+                "out_of_lane_rate": m_detail["out_of_lane_rate"],
+            }
+        detail["contracts"] = contracts
+
     result = {
         "metric": f"closed-loop agent-steps/sec/chip ({label})",
         "value": round(sps, 2),
         "unit": "agent-steps/s",
-        "vs_baseline": round(sps / base_sps, 2),
-        "detail": {
-            "scenes": bs, "steps_run": agent_steps, "wall_s": round(wall, 3),
-            "compile_s": round(compile_s, 1),
-            "collide_rate": round(float(out["collide"].mean()), 3),
-            "out_of_lane_rate": round(float(out["out_of_lane"].mean()), 3),
-            "mean_progress_m": round(float(out["progress"].mean()), 2),
-            "stl_compliance": round(float(out["stl_acc"].mean()), 3),
-            "device": str(jax.devices()[0]),
-        },
+        "vs_baseline": round(sps / MODE_BASELINE.get(mode, 2.6), 2),
+        "detail": detail,
     }
     print(json.dumps(result))
 
