@@ -27,4 +27,31 @@ keys, ``lax.scan`` for every sequential loop, ``vmap`` over candidate axes,
 
 __version__ = "0.1.0"
 
-from pstl_tpu.config import Config  # noqa: F401
+
+def _sync_compile_cache_env():
+    """Honor JAX_COMPILATION_CACHE_DIR even though the container pre-imports
+    jax (sitecustomize) BEFORE user code can set the env var: jax reads the
+    cache-dir env once at import, so every script/test that exported it was
+    silently recompiling everything.  Write the env contract through to the
+    live config here (a no-op when jax already picked it up or the caller
+    configured the cache explicitly)."""
+    import os
+
+    import jax
+
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if d and jax.config.jax_compilation_cache_dir is None:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes",
+            int(os.environ.get("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES",
+                               "-1")))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                                 "1.0")))
+
+
+_sync_compile_cache_env()
+
+from pstl_tpu.config import Config  # noqa: F401,E402

@@ -441,7 +441,7 @@ def _apply_backup(u0: Array, info: Dict[str, Array], obs: Dict[str, Array],
         n_iters=cfg.backup_niters))(
         plan_traj, u01, nei_sel)                     # (bs, 2, 2)
     u_corr = u01[:, 0] + u_res[:, 0]
-    return jnp.where(unsafe[:, None], u_corr, u0)
+    return jnp.where(unsafe[:, None], u_corr, u0), unsafe
 
 
 # ---------------------------------------------------------------------------
@@ -490,6 +490,7 @@ class Carry(NamedTuple):
     progress: Array
     stl_acc_sum: Array
     steps: Array
+    repairs: Array      # (bs,) backup-controller repairs fired
     key: Array
 
 
@@ -513,6 +514,7 @@ def _init_carry(scenes: SceneTensors, key: Array,
         progress=jnp.zeros((bs,)),
         stl_acc_sum=jnp.zeros((bs,)),
         steps=jnp.zeros((bs,)),
+        repairs=jnp.zeros((bs,)),
         key=key)
 
 
@@ -525,7 +527,9 @@ def _make_body(scenes: SceneTensors, cfg: Config, plan, with_info=False):
                        in_axes=(0, 0, 0))(scenes, c.ego, c.t)
         u0, info = plan(k_plan, obs)
         if cfg.backup:
-            u0 = _apply_backup(u0, info, obs, cfg)
+            u0, repaired = _apply_backup(u0, info, obs, cfg)
+        else:
+            repaired = jnp.zeros(u0.shape[:1], bool)
         new_ego, collide, ool, done_t = jax.vmap(
             lambda s, e, t, u: env_step(s, e, t, u, cfg),
             in_axes=(0, 0, 0, 0))(scenes, c.ego, c.t, u0)
@@ -539,6 +543,7 @@ def _make_body(scenes: SceneTensors, cfg: Config, plan, with_info=False):
             progress=c.progress + active * c.ego[:, 3] * cfg.dt,
             stl_acc_sum=c.stl_acc_sum + active * info["stl_acc"],
             steps=c.steps + active,
+            repairs=c.repairs + active * repaired,
             key=k)
         if with_info:
             return carry, info
@@ -572,6 +577,7 @@ def _carry_metrics(c):
         "progress": c.progress,
         "stl_acc": c.stl_acc_sum / steps,
         "agent_steps": jnp.sum(c.steps),
+        "repairs": c.repairs,
     }
 
 

@@ -15,7 +15,11 @@ synthetic scenes; --strict reports the reference-exact-semantics row
 speed go negative and applies no reversal shield); --ref-parity applies
 the FULL one-switch parity bundle (Config.ref_parity: strict semantics +
 guidance quirk + README closed-loop guidance schedule + backup budget);
---backup enables the backup safety controller (solve_bak A/B row).
+--backup enables the backup safety controller (solve_bak A/B row);
+--unsafe-fixture injects a neighbor riding the GT corridor two frames
+ahead of the ego into every scene (forces the planner's 2-step clearance
+below D_SAFE so backup repairs demonstrably fire, VERDICT r4 #6 —
+a stress row, not a Table-II parity row).
 """
 
 import json
@@ -44,6 +48,7 @@ def main():
     strict = "--strict" in sys.argv
     ref_parity = "--ref-parity" in sys.argv
     backup = "--backup" in sys.argv
+    unsafe_fixture = "--unsafe-fixture" in sys.argv
     cache = None
     if "--cache" in sys.argv:
         cache = sys.argv[sys.argv.index("--cache") + 1]
@@ -77,6 +82,19 @@ def main():
                     >= 1.0)[0][:N_TEST_SCENES]
     data = {k: (v[keep] if k.startswith("scene_") else v)
             for k, v in data.items()}
+    if unsafe_fixture:
+        # a converging neighbor riding the GT corridor 2 frames ahead:
+        # whatever lane-keeping plan the policy picks, its 2-step-ahead
+        # pose lands near this box, forcing the backup trigger
+        nei = np.array(data["scene_nei_full"])       # (bs, K, T, 7)
+        ego = data["scene_ego_full"]                 # (bs, T, 4)
+        T = ego.shape[1]
+        ahead = ego[:, np.minimum(np.arange(T) + 2, T - 1)]
+        nei[:, 0, :, 0] = 1.0
+        nei[:, 0, :, 1:5] = ahead
+        nei[:, 0, :, 5] = 6.0
+        nei[:, 0, :, 6] = 6.0
+        data["scene_nei_full"] = nei
     scenes = sim.scenes_from_dataset(data)
 
     net = Net(cfg)
@@ -99,6 +117,7 @@ def main():
                    + ("_strict" if strict else "")
                    + ("_refparity" if ref_parity else "")
                    + ("_backup" if backup else "")
+                   + ("_unsafe_fixture" if unsafe_fixture else "")
                    + ("_cache" if cache else ""),
         "compliance": round(float(out["stl_acc"].mean()), 4),
         "area": round(float(out["area"]), 4),
@@ -106,6 +125,7 @@ def main():
         "collision": round(float(out["collide"].mean()), 4),
         "out_of_lane": round(float(out["out_of_lane"].mean()), 4),
         "mean_traj_len": round(float(out["traj_len"].mean()), 2),
+        "repairs_fired": int(np.asarray(out["repairs"]).sum()),
         "plan_s_per_step_batch": round(float(np.median(step_s)), 4),
         "agent_steps_per_sec": round(
             len(keep) / float(np.median(step_s)), 2),

@@ -56,10 +56,15 @@ cl_row exps/r4/rows/v2_g_strict.json   exps/r4/models_e7v2 --guidance --strict
 cl_row exps/r4/rows/v2_refpar.json     exps/r4/models_e7v2 --ref-parity
 cl_row exps/r4/rows/v2_g_refpar.json   exps/r4/models_e7v2 --guidance --ref-parity
 cl_row exps/r4/rows/v2_g_backup.json   exps/r4/models_e7v2 --guidance --backup
+# stress fixture: converging neighbor forces backup repairs to fire
+# (VERDICT r4 #6 — evidence that solve_backup executes end-to-end)
+cl_row exps/r4/rows/v2_g_backup_unsafe.json exps/r4/models_e7v2 \
+    --guidance --backup --unsafe-fixture
 cat exps/r4/rows/v2_plain.json exps/r4/rows/v2_g.json \
     exps/r4/rows/v2_strict.json exps/r4/rows/v2_g_strict.json \
     exps/r4/rows/v2_refpar.json exps/r4/rows/v2_g_refpar.json \
-    exps/r4/rows/v2_g_backup.json >"$ROWS"
+    exps/r4/rows/v2_g_backup.json exps/r4/rows/v2_g_backup_unsafe.json \
+    >"$ROWS"
 
 # ---- 4+5. fast samplers + entropy sweep ---------------------------------
 if [ ! -s exps/r4/fast_sampler.json ]; then

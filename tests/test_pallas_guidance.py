@@ -17,8 +17,10 @@ from pstl_tpu.ops import pallas_guidance
 
 
 def _setup(norm_stl=False, quirk=False, niters=3, seed=0, bs=2, M=4,
-           inline=False, clip_dist=False, coarse=False):
-    cfg = Config(diffusion=True, n_randoms=M, n_neighbors=3, nt=20,
+           inline=False, clip_dist=False, coarse=False, nt=20,
+           n_neighbors=3, n_segs=15):
+    cfg = Config(diffusion=True, n_randoms=M, n_neighbors=n_neighbors, nt=nt,
+                 n_segs=n_segs,
                  flex=True, norm_stl=norm_stl, guidance=True,
                  guidance_niters=niters, guidance_reuse_selection=True,
                  inline=inline, clip_dist=clip_dist,
@@ -190,6 +192,30 @@ def test_fused_freeze_coarse_pair_matches_xla():
         fused_x, None, fused_x._to_cand_minor(mu_x), beta_t, 100.0, cfg_x,
         interpret=True, fuse_freeze=True))
     assert not np.allclose(np.asarray(pal), np.asarray(pal_x))
+
+
+def test_fused_freeze_coarse_pair_matches_xla_fast():
+    """Default-suite (non-slow) coverage of the kernel's coarse-pair
+    branch: the full XLA-oracle variant above is slow-marked, and the
+    round-4 coarse-branch divergence went unnoticed precisely because the
+    default tier never exercised it.  Cheap oracle: the kernel run on
+    selections FROZEN BY XLA (specs._clear_select coarse branch, via
+    fused.freeze_cm) must equal the kernel computing the same selections
+    IN-VMEM (fuse_freeze) — the exact divergence the round-4 fix closed.
+    Reduced budget: one scene, M=2, niters=1, nt=8, 2 neighbors, 5 segs."""
+    cfg, fused, mu = _setup(seed=13, coarse=True, niters=1, bs=1, M=2,
+                            nt=8, n_neighbors=2, n_segs=5)
+    assert cfg.clearance_coarse_pair
+    mu_cm = fused._to_cand_minor(mu)
+    frozen = fused.freeze_cm(mu_cm)   # XLA coarse-pair selection
+    beta_t = jnp.asarray(0.02, jnp.float32)
+    ref_cm = pallas_guidance.guidance_adam_cm(
+        fused, frozen, mu_cm, beta_t, 100.0, cfg, interpret=True)
+    pal_cm = pallas_guidance.guidance_adam_cm(
+        fused, None, mu_cm, beta_t, 100.0, cfg, interpret=True,
+        fuse_freeze=True)            # in-kernel coarse-pair selection
+    np.testing.assert_allclose(np.asarray(pal_cm), np.asarray(ref_cm),
+                               rtol=2e-4, atol=2e-5)
 
 
 @pytest.mark.parametrize("norm_stl", [False, True])

@@ -224,15 +224,103 @@ def test_apply_backup_first_unsafe_neighbor(monkeypatch):
     u0 = jnp.ones((bs, 2))
     info = {"plan_traj": jnp.asarray(plan)}
     obs = {"neighbor_trajs_aug": jnp.asarray(nei)}
-    out = np.asarray(sim._apply_backup(u0, info, obs, cfg))
+    out, unsafe = sim._apply_backup(u0, info, obs, cfg)
+    out = np.asarray(out)
 
     assert seen["n_iters"] == 7              # cfg.backup_niters honored
+    np.testing.assert_array_equal(np.asarray(unsafe), [True, False])
     # scene 0: corrected control = u01[:,0] (zeros: straight constant-v
     # plan) + residual encoding slot 1's x — the FIRST unsafe slot, even
     # though slot 2 is closer to the plan point
     np.testing.assert_allclose(out[0], np.full(2, px + 1.0), atol=1e-5)
     # scene 1 safe: plan untouched
     np.testing.assert_allclose(out[1], np.ones(2), atol=1e-6)
+
+
+def test_backup_forced_unsafe_repair_restores_clearance():
+    """End-to-end backup repair with the REAL solve_backup (VERDICT r4 #6):
+    a converging neighbor overlaps the plan's 2-step-ahead pose, so the
+    2-step clearance is below D_SAFE; the repair must fire and the
+    corrected 2-step controls must measurably improve clearance.  NOTE the
+    reference's own solve_bak loss (nusc_sim.py:757-781) weights the L2
+    residual penalty 1:1 against the clearance hinge, so the equilibrium
+    correction is a NUDGE (~+0.02 m on this geometry), not a full
+    restoration above D_SAFE — we assert the parity behavior."""
+    from pstl_tpu.ops import dynamics as dyn, geometry as geom
+    cfg = sim_cfg().with_(backup=True, backup_niters=500)
+    bs, K, nt = 1, 2, cfg.nt
+    v = 2.0
+    ts = np.arange(nt + 1) * cfg.dt
+    plan = np.zeros((bs, nt + 1, 4), np.float32)
+    plan[:, :, 0] = v * ts                   # straight constant-v plan
+    plan[:, :, 3] = v
+
+    nei = np.zeros((bs, K, nt, 7), np.float32)
+    nei[:, :, :, 0] = 1.0
+    nei[:, :, :, 5] = 4.5                    # car-sized neighbor
+    nei[:, :, :, 6] = 2.0
+    # shallowly unsafe: lateral offset 2.2 m puts the 2-step clearance at
+    # -0.03 (< D_SAFE) — the regime the 2-step residual CAN improve; a
+    # perfectly axis-aligned overlap has zero lateral clearance gradient
+    nei[0, 0, :, 1] = plan[0, 2, 0]
+    nei[0, 0, :, 2] = 2.2
+    nei[0, 0, :, 3] = 0.3
+    nei[0, 1, :, 1] = 300.0                  # slot 1 far away
+
+    u0 = jnp.zeros((bs, 2))                  # chosen first control
+    info = {"plan_traj": jnp.asarray(plan)}
+    obs = {"neighbor_trajs_aug": jnp.asarray(nei)}
+    u_new, unsafe = sim._apply_backup(u0, info, obs, cfg)
+    assert bool(unsafe[0]), "repair must fire on the forced-unsafe scene"
+    assert not np.allclose(np.asarray(u_new[0]), np.asarray(u0[0])), \
+        "corrected control must differ from the unsafe plan"
+
+    def two_step_clearance(u_first):
+        # roll the (repaired) first control + original second control and
+        # measure min clearance over the two look-ahead steps
+        u2 = jnp.stack([u_first, jnp.zeros(2)], axis=0)[None]  # (1, 2, 2)
+        traj = dyn.rollout(jnp.asarray(plan[:, 0, :4]), u2, cfg.dt)
+        cl = geom.car_clearance(
+            traj[:, 1:3, :3], cfg.ego_L, cfg.ego_W,
+            jnp.asarray(nei[:, 0, 1:3, 1:4]),
+            jnp.asarray(nei[:, 0, 1:3, 5]), jnp.asarray(nei[:, 0, 1:3, 6]),
+            cfg.refined_nL, cfg.refined_nW)
+        return float(jnp.min(cl))
+
+    before = two_step_clearance(u0[0])
+    after = two_step_clearance(u_new[0])
+    assert before < sim.D_SAFE               # the scene IS unsafe
+    assert after > before + 0.01, \
+        f"repair must improve clearance (before={before}, after={after})"
+
+
+@pytest.mark.slow
+def test_closed_loop_repairs_counter(setup):
+    """The repairs metric counts backup activations inside the closed-loop
+    body: a neighbor riding the GT corridor two steps ahead of the ego
+    forces the planner's 2-step clearance below D_SAFE, so repairs must
+    fire (> 0) and be reported by _carry_metrics."""
+    cfg, data, scenes, net, formulas, coeffs, params = setup
+    cfg_b = cfg.with_(backup=True, backup_niters=20)
+    # neighbor slot 0 := GT ego pose shifted 2 frames ahead, large box
+    nei = np.array(scenes.nei_full)          # (bs, K, T, 7) writable copy
+    ego_full = np.asarray(scenes.ego_full)   # (bs, T, 4)
+    T = ego_full.shape[1]
+    ahead = ego_full[:, np.minimum(np.arange(T) + 2, T - 1)]
+    nei[:, 0, :, 0] = 1.0
+    nei[:, 0, :, 1:5] = ahead
+    nei[:, 0, :, 5] = 8.0
+    nei[:, 0, :, 6] = 8.0
+    scenes_u = scenes._replace(nei_full=jnp.asarray(nei))
+    out = sim.run_closed_loop(jax.random.PRNGKey(0), scenes_u, cfg_b, net,
+                              params, formulas, coeffs, max_steps=3)
+    assert "repairs" in out
+    assert float(np.asarray(out["repairs"]).sum()) > 0, \
+        "backup repairs must fire on the forced-unsafe fixture"
+    # and the clean scenes with backup on report repairs as a metric too
+    out2 = sim.run_closed_loop(jax.random.PRNGKey(0), scenes, cfg_b, net,
+                               params, formulas, coeffs, max_steps=2)
+    assert "repairs" in out2
 
 
 def test_ref_parity_bundle():

@@ -101,8 +101,12 @@ def test_trajopt_loss_robust_draws_consistent():
 
 
 def test_augment_dataset_attaches_columns():
+    # trajopt_robust_draws=1: the K-draw hinge quadruples the loss graph
+    # (and its compile time); K-consistency is pinned by the dedicated
+    # test above, this one only checks column attachment/shapes
     cfg = Config(diffusion=True, n_randoms=2, n_neighbors=2,
-                 n_synth_scenes=4, flex=True).finalize().with_(epochs=1)
+                 n_synth_scenes=4, flex=True,
+                 trajopt_robust_draws=1).finalize().with_(epochs=1)
     ds = SceneDataset.from_synthetic(cfg, n_scenes=4)
     formulas = specs.build_formulas(cfg)
     trajopt.augment_dataset(ds, cfg, formulas, batch_size=4, iters=20,
