@@ -96,6 +96,8 @@ def build_cfg(mode):
         cfg = cfg.with_(cm_sampler=False)
     if os.environ.get("BENCH_COARSE_PAIR"):
         cfg = cfg.with_(clearance_coarse_pair=True)
+    if os.environ.get("BENCH_BF16_CUMSUM"):
+        cfg = cfg.with_(guidance_pallas_bf16_cumsum=True)
     if os.environ.get("BENCH_BLEND"):
         cfg = cfg.with_(guidance_blend_scores=True)
     if os.environ.get("BENCH_SCAN_UNROLL"):

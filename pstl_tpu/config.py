@@ -319,6 +319,11 @@ class Config:
     # Implies guidance_pallas_fuse_freeze; mutually exclusive with the
     # folded variants; silently falls back to 1 when bs % G != 0.
     guidance_pallas_pack: int = 1
+    # feed the in-kernel rollout's triangular-cumsum matmuls bf16 operands
+    # with fp32 accumulation (full-rate MXU issue; ~2^-8 relative operand
+    # rounding, bounded downstream by the guidance trust-region clip).
+    # Opt-in approximation — A/B via BENCH_BF16_CUMSUM=1.
+    guidance_pallas_bf16_cumsum: bool = False
     pallas_interpret: bool = False            # run Pallas kernels interpreted
     # serve training batches from the C++ mmap shard store (thread-pool
     # gather + double-buffered prefetch) instead of numpy slicing — the

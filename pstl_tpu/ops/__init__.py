@@ -1,1 +1,1 @@
-from pstl_tpu.ops import stl, dynamics, geometry  # noqa: F401
+from pstl_tpu.ops import stl, dynamics, geometry, guidance_loss  # noqa: F401

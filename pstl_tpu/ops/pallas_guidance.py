@@ -68,8 +68,18 @@ def _tri(T: int, strict: bool, dtype=jnp.float32):
     return ((col < row) if strict else (col <= row)).astype(dtype)
 
 
-def _cumsum_T(x, strict=False):
-    """(T, R) cumulative sum over the leading axis via one MXU matmul."""
+def _cumsum_T(x, strict=False, bf16=False):
+    """(T, R) cumulative sum over the leading axis via one MXU matmul.
+
+    bf16=True feeds the MXU bf16 operands with fp32 accumulation (full-rate
+    MXU issue instead of the fp32 multi-pass): the triangular selector is
+    exact in bf16, the operand rounding costs ~2^-8 relative on the summand
+    — an opt-in approximation (cfg.guidance_pallas_bf16_cumsum); the
+    sampler's trust-region clip bounds the effect on the final sample."""
+    if bf16:
+        return jax.lax.dot(_tri(x.shape[0], strict, jnp.bfloat16),
+                           x.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
     return jax.lax.dot(_tri(x.shape[0], strict), x,
                        precision=jax.lax.Precision.HIGHEST)
 
@@ -117,13 +127,14 @@ def _ev_alw(g, tau, nt2: int):
 
 def _rollout_k(muw, mua, st, p):
     """(T, R) controls -> recentered ego states (all (T, R))."""
+    bf16 = bool(p.get("bf16_mxu"))
     w = muw * p["mul_w"]
     a = mua * p["mul_a"]
-    th_s = st["th0"] + p["dt"] * _cumsum_T(w, strict=True)
-    v_s = st["v0"] + p["dt"] * _cumsum_T(a, strict=True)
+    th_s = st["th0"] + p["dt"] * _cumsum_T(w, strict=True, bf16=bf16)
+    v_s = st["v0"] + p["dt"] * _cumsum_T(a, strict=True, bf16=bf16)
     cth, sth = jnp.cos(th_s), jnp.sin(th_s)
-    x_s = _cumsum_T(v_s * cth * p["dt"], strict=True)      # recentered: x0=0
-    y_s = _cumsum_T(v_s * sth * p["dt"], strict=True)
+    x_s = _cumsum_T(v_s * cth * p["dt"], strict=True, bf16=bf16)  # x0=0
+    y_s = _cumsum_T(v_s * sth * p["dt"], strict=True, bf16=bf16)
     return x_s, y_s, th_s, v_s, cth, sth
 
 
@@ -685,6 +696,8 @@ def superstep_call(fused_loss, mlp_ops, xw_f, xa_f, zw_f, za_f, te_col,
              quirk=bool(cfg.guidance_positive_offset_quirk),
              S=S, nLe=int(cfg.refined_nL), nLn=nLn,
              coarse=bool(getattr(cfg, "clearance_coarse_pair", False)),
+             bf16_mxu=bool(getattr(cfg, "guidance_pallas_bf16_cumsum",
+                                   False)),
              ego_L=float(cfg.ego_L), re=float(cfg.ego_W) / 2.0,
              bs=bs, R=R, M=fused_loss.M,
              guided=bool(guided), nmid=len(mlp_ops["mid"]),
@@ -955,6 +968,8 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
                  quirk=bool(cfg.guidance_positive_offset_quirk),
                  S=S, nLe=int(cfg.refined_nL), nLn=nLn,
                  coarse=bool(getattr(cfg, "clearance_coarse_pair", False)),
+             bf16_mxu=bool(getattr(cfg, "guidance_pallas_bf16_cumsum",
+                                   False)),
                  ego_L=float(cfg.ego_L), re=float(cfg.ego_W) / 2.0,
                  bs=bs, R=R, M=fused_loss.M)
         gvec_in = jnp.stack(
@@ -1017,12 +1032,16 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
              mul_a=float(cfg.mul_a_max), lr=float(cfg.guidance_lr),
              niters=int(cfg.guidance_niters), inline=bool(cfg.inline),
              clip_dist=bool(cfg.clip_dist),
+             bf16_mxu=bool(getattr(cfg, "guidance_pallas_bf16_cumsum",
+                                   False)),
              quirk=bool(cfg.guidance_positive_offset_quirk))
 
     if fuse_freeze:
         S = fused_loss.lxr.shape[1]
         p.update(S=S, nLe=int(cfg.refined_nL), nLn=nLn,
                  coarse=bool(getattr(cfg, "clearance_coarse_pair", False)),
+             bf16_mxu=bool(getattr(cfg, "guidance_pallas_bf16_cumsum",
+                                   False)),
                  ego_L=float(cfg.ego_L), re=float(cfg.ego_W) / 2.0)
 
     if getattr(cfg, "guidance_pallas_fold", True):

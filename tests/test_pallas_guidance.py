@@ -218,6 +218,28 @@ def test_fused_freeze_coarse_pair_matches_xla_fast():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
+def test_bf16_cumsum_close_to_fp32():
+    """cfg.guidance_pallas_bf16_cumsum (bf16-operand MXU cumsums in the
+    in-kernel rollout) is an opt-in approximation: the guided update must
+    stay within the trust-region clip of the fp32 path (|delta| <= beta
+    each side, so 2*beta worst case) and must actually change the path."""
+    cfg, fused, mu = _setup(seed=4, niters=1, bs=1, M=2)
+    mu_cm = fused._to_cand_minor(mu)
+    frozen = fused.freeze_cm(mu_cm)
+    beta = 0.02
+    beta_t = jnp.asarray(beta, jnp.float32)
+    base = pallas_guidance.guidance_adam_cm(
+        fused, frozen, mu_cm, beta_t, 100.0, cfg, interpret=True)
+    cfg_b = cfg.with_(guidance_pallas_bf16_cumsum=True)
+    out = pallas_guidance.guidance_adam_cm(
+        fused, frozen, mu_cm, beta_t, 100.0, cfg_b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               atol=2 * beta + 1e-4)
+    assert not np.allclose(np.asarray(out), np.asarray(base)), \
+        "bf16 path must actually engage (identical output = dead flag)"
+
+
 @pytest.mark.parametrize("norm_stl", [False, True])
 @pytest.mark.slow
 def test_fold2_matches_grid(norm_stl):
