@@ -730,7 +730,7 @@ def superstep_call(fused_loss, mlp_ops, xw_f, xa_f, zw_f, za_f, te_col,
     if not interpret:
         from jax.experimental.pallas import tpu as pltpu
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
+            vmem_limit_bytes=_vmem_limit_bytes())
     return pl.pallas_call(
         functools.partial(_kernel_superstep, p),
         grid=(grid_n,),
@@ -740,6 +740,15 @@ def superstep_call(fused_loss, mlp_ops, xw_f, xa_f, zw_f, za_f, te_col,
         interpret=interpret,
         **kwargs,
     )(*ins)
+
+
+def _vmem_limit_bytes() -> int:
+    """Scoped-VMEM budget for the guidance kernels (default 100 MiB; the
+    v5e core has 128 MiB).  PSTL_VMEM_MB overrides — the G=4 lane-packing
+    A/B probes whether the round-4 "VMEM pressure erodes the win" result
+    was the 100 MiB cap rather than a hardware wall."""
+    import os
+    return int(os.environ.get("PSTL_VMEM_MB", "100")) * 1024 * 1024
 
 
 def _auto_cols(Rf: int, target: int = 1536) -> int:
@@ -983,7 +992,7 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
         if not interpret:
             from jax.experimental.pallas import tpu as pltpu
             kwargs["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024)
+                vmem_limit_bytes=_vmem_limit_bytes())
         outw, outa = pl.pallas_call(
             functools.partial(_kernel_fused_f2, p),
             grid=(grid_n,),
@@ -1089,7 +1098,7 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
         if not interpret:
             from jax.experimental.pallas import tpu as pltpu
             kwargs["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024)
+                vmem_limit_bytes=_vmem_limit_bytes())
         outw, outa = pl.pallas_call(
             kern,
             grid=(grid_n,),
@@ -1131,7 +1140,7 @@ def guidance_adam_cm(fused_loss, frozen: Dict, mu_cm: Array, beta_t: Array,
         # keep headroom above Mosaic's 16 MiB default scoped VMEM
         from jax.experimental.pallas import tpu as pltpu
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
+            vmem_limit_bytes=_vmem_limit_bytes())
     outw, outa = pl.pallas_call(
         kern,
         grid=(muw.shape[0],),
