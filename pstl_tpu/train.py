@@ -467,9 +467,14 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int):
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
     with ocp.StandardCheckpointer() as ckptr:
+        # force=True: a crashed/interrupted earlier save leaves the step dir
+        # behind, and without it a 35-minute training run dies at the very
+        # last line with "Destination ... already exists" (lost the round-5
+        # e5b continuation once; never again)
         ckptr.save(path, {"params": state.params,
                           "opt_state": state.opt_state,
-                          "step": np.asarray(state.step)})
+                          "step": np.asarray(state.step)},
+                   force=True)
     # rolling "last" pointer (utils.py:81-85 behavior)
     with open(os.path.join(ckpt_dir, "LAST"), "w") as f:
         f.write(path)
