@@ -534,8 +534,13 @@ def load_params_only(ckpt_dir: str, state: TrainState) -> TrainState:
 # ---------------------------------------------------------------------------
 
 def train(cfg: Config, ds: SceneDataset, mesh=None, log=print,
-          epochs: Optional[int] = None) -> TrainState:
-    """Epoch loop over {train, val} (nusc_train.py:1245-1632)."""
+          epochs: Optional[int] = None, epoch_cb=None) -> TrainState:
+    """Epoch loop over {train, val} (nusc_train.py:1245-1632).
+
+    ``epoch_cb(epi, state)``, when given, runs after each epoch's val pass
+    — long unattended runs use it to write work-in-progress checkpoints so
+    a killed process (the TPU tunnel occasionally hangs mid-run) resumes
+    instead of restarting from scratch (scripts/e5_continue.py)."""
     from pstl_tpu.parallel import shard_batch
     from pstl_tpu.utils.meters import MeterDict, Timer
 
@@ -691,6 +696,8 @@ def train(cfg: Config, ds: SceneDataset, mesh=None, log=print,
                 eta.epoch_done()
             log(f"{mode:5s}[{epi:03d}] " + md.summary()
                 + f" T:{dur:.1f}s ETA:{eta.eta_str()}")
+        if epoch_cb is not None:
+            epoch_cb(epi, state)
         if cfg.exp_name and (epi % cfg.save_freq == 0 or epi == n_epochs - 1):
             save_checkpoint(os.path.join("exps", cfg.exp_name, "models"),
                             state, epi)

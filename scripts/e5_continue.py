@@ -24,10 +24,30 @@ DST = os.environ.get("E5B_DST", "models_e5b")
 T0 = time.time()
 def log(m): print(f"[{time.time()-T0:7.1f}s] {m}", flush=True)
 base = dict(n_randoms=64, n_neighbors=8, batch_size=16)
+# Work-in-progress resume: the TPU tunnel occasionally hangs a process
+# mid-run (futex wait, zero CPU).  Snapshot every 25 epochs to DST_wip +
+# an EPOCHS_DONE sidecar; a relaunch warm-starts from the snapshot and
+# trains only the remaining epochs instead of losing the whole run.
+WIP = os.path.join(OUT, DST + "_wip")
+DONE_F = os.path.join(WIP, "EPOCHS_DONE")
+done = int(open(DONE_F).read().strip()) if os.path.exists(DONE_F) else 0
+src_path = WIP if done > 0 else os.path.join(OUT, SRC)
 cfg = PRESETS["e5_ddpm"].with_(**base).with_(
-    epochs=EPOCHS, net_pretrained_path=os.path.join(OUT, SRC))
+    epochs=max(EPOCHS - done, 0), net_pretrained_path=src_path)
 ds = SceneDataset.load(os.path.join(OUT, "cache_aug.npz"), cfg)
-log(f"continuing e5 from {SRC} +{EPOCHS} epochs...")
-st = train.train(cfg.with_(exp_name=None), ds, log=log)
+
+
+def _wip_cb(epi, state):
+    if (epi + 1) % 25 == 0:
+        train.save_checkpoint(WIP, state, 0)
+        with open(DONE_F, "w") as f:
+            f.write(str(done + epi + 1))
+        log(f"wip snapshot @ {done + epi + 1}/{EPOCHS} epochs")
+
+
+log(f"continuing e5 from {os.path.basename(src_path)} "
+    f"+{EPOCHS - done} epochs (of {EPOCHS}; {done} already done)...")
+# epochs=0 (everything already in WIP) just returns the loaded state
+st = train.train(cfg.with_(exp_name=None), ds, log=log, epoch_cb=_wip_cb)
 train.save_checkpoint(os.path.join(OUT, DST), st, 0)
 log(f"saved {DST}")
