@@ -94,9 +94,13 @@ def build_cfg(mode):
         cfg = cfg.with_(robustness_dtype=os.environ["BENCH_ROB_DTYPE"])
     if os.environ.get("BENCH_NO_CM"):
         cfg = cfg.with_(cm_sampler=False)
-    if os.environ.get("BENCH_COARSE_PAIR"):
+    # Round-5 shipped defaults (A/B matrix exps/r5_perf/, docs/PERF.md
+    # round-5): coarse-pair freeze +4.4%, bf16 MXU cumsum tiles +6.8%,
+    # together +18.4% (621.5 -> 736.0 steps/s) at identical bench
+    # compliance (0.936).  =0 restores the exact/fp32 paths.
+    if os.environ.get("BENCH_COARSE_PAIR", "1") != "0":
         cfg = cfg.with_(clearance_coarse_pair=True)
-    if os.environ.get("BENCH_BF16_CUMSUM"):
+    if os.environ.get("BENCH_BF16_CUMSUM", "1") != "0":
         cfg = cfg.with_(guidance_pallas_bf16_cumsum=True)
     if os.environ.get("BENCH_BLEND"):
         cfg = cfg.with_(guidance_blend_scores=True)

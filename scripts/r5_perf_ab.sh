@@ -28,16 +28,18 @@ row() { # row <name> [ENV=val...]
   cat "$rowf" >>"$LOG"; echo >>"$LOG"
 }
 
-# -- lever A/Bs (heavy mode only, quick) -----------------------------------
-row base            PLACEHOLDER=1
-row coarse          BENCH_COARSE_PAIR=1
-row bf16            BENCH_BF16_CUMSUM=1
+# -- lever A/Bs (heavy mode only, quick).  The winning combination
+# (coarse+bf16) became the bench DEFAULT after this matrix ran, so every
+# row pins both envs explicitly. -------------------------------------------
+row base            BENCH_COARSE_PAIR=0 BENCH_BF16_CUMSUM=0
+row coarse          BENCH_COARSE_PAIR=1 BENCH_BF16_CUMSUM=0
+row bf16            BENCH_COARSE_PAIR=0 BENCH_BF16_CUMSUM=1
 row coarse_bf16     BENCH_COARSE_PAIR=1 BENCH_BF16_CUMSUM=1
-row gpack4          BENCH_GPACK=4
-row gpack4_vmem120  BENCH_GPACK=4 PSTL_VMEM_MB=120
-row gpack2_vmem120  PSTL_VMEM_MB=120
+row gpack4          BENCH_COARSE_PAIR=0 BENCH_BF16_CUMSUM=0 BENCH_GPACK=4
+row gpack4_vmem120  BENCH_COARSE_PAIR=0 BENCH_BF16_CUMSUM=0 BENCH_GPACK=4 PSTL_VMEM_MB=120
+row gpack2_vmem120  BENCH_COARSE_PAIR=0 BENCH_BF16_CUMSUM=0 PSTL_VMEM_MB=120
 
-# -- bs sweep at defaults (per-chip product scaling) -----------------------
+# -- bs sweep at the shipped (winning) config: per-chip product scaling ----
 row bs64            BENCH_SCENES=64
 row bs128           BENCH_SCENES=128
 
